@@ -1,0 +1,105 @@
+"""Attention dispatch: Pallas TPU flash attention with an XLA fallback.
+
+The reference routes all attention through diffusers' `Attention` →
+`F.scaled_dot_product_attention` (see reference src/dwm/models/maskgit_base.py:34-38
+and the crossview/temporal blocks in src/dwm/models/crossview_temporal.py).
+Here every attention in the framework funnels through
+:func:`dot_product_attention`, which picks a backend:
+
+- ``pallas``: `jax.experimental.pallas.ops.tpu.flash_attention` — used on TPU
+  when shapes are tile-friendly (no bias mask, seq lengths padded internally).
+- ``xla``:    a plain fused einsum/softmax; XLA fuses this well on any backend
+  and it supports arbitrary additive masks.
+
+All inputs are ``(batch, seq, heads, head_dim)`` ("BSHD", flax convention).
+Softmax always accumulates in float32 regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+_FLASH_MIN_SEQ = 128  # below this the kernel launch overhead dominates
+
+
+def _can_use_flash(q, k, bias, backend_hint: str | None) -> bool:
+    if backend_hint == "xla":
+        return False
+    if bias is not None:
+        return False
+    platform = jax.devices()[0].platform if jax.devices() else "cpu"
+    if platform != "tpu" and backend_hint != "pallas":
+        return False
+    # Kernel constraints: block sizes divide padded seq; head_dim small enough
+    # to keep the VMEM working set reasonable.
+    q_seq, kv_seq = q.shape[1], k.shape[1]
+    if q_seq < _FLASH_MIN_SEQ or kv_seq < _FLASH_MIN_SEQ:
+        return False
+    if q_seq % 128 or kv_seq % 128:
+        return False
+    return q.shape[-1] <= 256
+
+
+def _xla_attention(q, k, v, bias, scale, is_causal):
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if is_causal:
+        q_len, k_len = logits.shape[-2], logits.shape[-1]
+        causal = jnp.tril(jnp.ones((q_len, k_len), dtype=bool), k_len - q_len)
+        logits = jnp.where(causal, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "is_causal", "backend")
+)
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array | None = None,
+    *,
+    scale: float | None = None,
+    is_causal: bool = False,
+    backend: str | None = None,
+) -> jax.Array:
+    """Multi-head attention over BSHD tensors.
+
+    Args:
+      q, k, v: ``(batch, seq, heads, head_dim)``. k/v may have fewer heads
+        (grouped-query) — they are broadcast.
+      bias: optional additive mask/bias broadcastable to
+        ``(batch, heads, q_seq, kv_seq)`` (use ``-inf``/large-negative to mask).
+      scale: defaults to ``1/sqrt(head_dim)``.
+      backend: force ``"pallas"`` or ``"xla"``; default auto.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if k.shape[2] != q.shape[2]:
+        reps = q.shape[2] // k.shape[2]
+        k = jnp.repeat(k, reps, axis=2)
+        v = jnp.repeat(v, reps, axis=2)
+    if _can_use_flash(q, k, bias, backend):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention,
+        )
+
+        # Kernel expects (batch, heads, seq, dim).
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            causal=is_causal,
+            sm_scale=scale,
+        )
+        return out.transpose(0, 2, 1, 3).astype(q.dtype)
+    return _xla_attention(q, k, v, bias, scale, is_causal).astype(q.dtype)

@@ -1,0 +1,118 @@
+"""Declarative parameter/batch sharding.
+
+Replaces the reference's imperative wrapper classes (DDP/FSDP wrap in
+src/dwm/pipelines/ctsd.py:1050-1082, sharded optimizer checkpointing in
+src/dwm/distributed.py) with NamedSharding builders:
+
+- ``param_shardings(params, mesh, policy)`` returns a matching pytree of
+  `NamedSharding` for any policy in {"ddp", "fsdp", "hsdp", "tp"}.
+  FSDP shards the **largest divisible axis** of every tensor over the "fsdp"
+  mesh axis (ZeRO-3 semantics: XLA all-gathers params at use and
+  reduce-scatters gradients — the same collective schedule FSDP hand-codes).
+- ``batch_sharding(mesh)`` shards the leading (batch) axis over all data axes
+  ("dp", "fsdp") jointly, which is what DDP+FSDP/HSDP all do to the input.
+
+There are no wrapper modules: `jax.jit(..., in_shardings=...)` with these
+trees *is* the distribution strategy.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from opendwm_tpu.parallel.mesh import AXIS_DP, AXIS_FSDP, AXIS_TP
+
+MIN_SHARD_SIZE = 2**16  # don't bother sharding tiny params (norms, biases)
+
+
+def _fsdp_spec(shape: tuple[int, ...], fsdp_size: int, min_size=MIN_SHARD_SIZE):
+    """PartitionSpec sharding the largest divisible dim over the fsdp axis."""
+    if fsdp_size <= 1 or np.prod(shape, dtype=np.int64) < min_size:
+        return P()
+    # Prefer the largest axis; tie-break toward the *first* axis (output
+    # features for flax kernels are last — sharding inputs keeps the
+    # all-gather on the contraction side which XLA overlaps better).
+    candidates = [
+        (dim, i) for i, dim in enumerate(shape) if dim % fsdp_size == 0
+    ]
+    if not candidates:
+        return P()
+    dim, idx = max(candidates, key=lambda t: (t[0], -t[1]))
+    spec = [None] * len(shape)
+    spec[idx] = AXIS_FSDP
+    return P(*spec)
+
+
+def param_shardings(params, mesh: Mesh, policy: str = "fsdp"):
+    """A pytree of NamedSharding congruent to ``params``.
+
+    policy:
+      - "ddp":  fully replicated parameters.
+      - "fsdp"/"hsdp": shard over the "fsdp" mesh axis (hsdp == fsdp here;
+        the difference lives in the mesh shape, reference config
+        ctsd_35_tirda_bm_nwao.json:43-50).
+      - "tp": reserved; currently behaves like fsdp but over the "tp" axis.
+    """
+    if policy == "ddp":
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+    if policy in ("fsdp", "hsdp"):
+        axis_size = mesh.shape[AXIS_FSDP]
+        return jax.tree.map(
+            lambda p: NamedSharding(mesh, _fsdp_spec(np.shape(p), axis_size)),
+            params,
+        )
+    if policy == "tp":
+        axis_size = mesh.shape[AXIS_TP]
+        return jax.tree.map(
+            lambda p: NamedSharding(mesh, _tp_spec(np.shape(p), axis_size)),
+            params,
+        )
+    raise ValueError(f"Unknown sharding policy {policy!r}.")
+
+
+def _tp_spec(shape: tuple[int, ...], tp_size: int):
+    if tp_size <= 1 or np.prod(shape, dtype=np.int64) < MIN_SHARD_SIZE:
+        return P()
+    for i in reversed(range(len(shape))):  # prefer output-feature axis
+        if shape[i] % tp_size == 0:
+            spec = [None] * len(shape)
+            spec[i] = AXIS_TP
+            return P(*spec)
+    return P()
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1):
+    """Shard the leading axis of a batch over all data axes."""
+    return NamedSharding(mesh, P((AXIS_DP, AXIS_FSDP)))
+
+
+def batch_spec() -> P:
+    return P((AXIS_DP, AXIS_FSDP))
+
+
+def shard_params(params, mesh: Mesh, policy: str = "fsdp"):
+    """Device-put a parameter pytree according to the policy."""
+    shardings = param_shardings(params, mesh, policy)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch pytree, sharding dim0 over the data axes."""
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        return jax.device_put(x, sh) if np.ndim(x) >= 1 else jax.device_put(
+            x, replicated(mesh)
+        )
+
+    return jax.tree.map(put, batch)
+
+
+def data_parallel_size(mesh: Mesh) -> int:
+    return mesh.shape[AXIS_DP] * mesh.shape[AXIS_FSDP]
