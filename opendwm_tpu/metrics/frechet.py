@@ -1,0 +1,125 @@
+"""Streaming Fréchet distance (FID/FVD core), mesh-friendly.
+
+Reference: src/dwm/metrics/fvd.py — torchmetrics states ``features_sum``,
+``features_cov_sum``, ``num_samples`` reduced with ``dist_reduce_fx="sum"``,
+then the eigenvalue-based Fréchet formula (:9-19).
+
+Here the metric is a functional pytree state: ``update`` is pure jnp and can
+run inside the jitted eval step (states sharded/replicated like any array —
+summing across the mesh is a `psum` the caller applies, or automatic when
+updates happen on replicated arrays). ``compute`` runs on host in float64
+(eigvals of a KxK matrix — not accelerator work).
+
+The feature extractors (InceptionV3 for FID, I3D for FVD) are pluggable
+callables; converted-weight ports live in models/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opendwm_tpu.config import register
+
+
+@dataclasses.dataclass
+class FrechetState:
+    real_sum: jax.Array
+    real_cov_sum: jax.Array
+    real_n: jax.Array
+    fake_sum: jax.Array
+    fake_cov_sum: jax.Array
+    fake_n: jax.Array
+
+
+def _frechet_from_stats(mu1, sigma1, mu2, sigma2) -> float:
+    a = float(np.sum((mu1 - mu2) ** 2))
+    b = float(np.trace(sigma1) + np.trace(sigma2))
+    eig = np.linalg.eigvals(sigma1 @ sigma2)
+    c = float(np.sum(np.sqrt(eig.astype(np.complex128)).real))
+    return a + b - 2 * c
+
+
+def frechet_distance(real_feats: np.ndarray, fake_feats: np.ndarray) -> float:
+    """One-shot Fréchet distance between two feature sets (n, k)."""
+    mu1, mu2 = real_feats.mean(0), fake_feats.mean(0)
+    s1 = np.cov(real_feats, rowvar=False)
+    s2 = np.cov(fake_feats, rowvar=False)
+    return _frechet_from_stats(mu1, s1, mu2, s2)
+
+
+@register("FrechetDistance")
+class FrechetDistance:
+    """Streaming FID/FVD with an optional feature extractor.
+
+    usage:
+        m = FrechetDistance(dim)
+        state = m.init()
+        state = m.update(state, feats, real=True)   # jit-safe
+        value = m.compute(state)                     # host
+    """
+
+    def __init__(
+        self,
+        num_features: int,
+        feature_fn: Optional[Callable] = None,
+    ):
+        self.dim = num_features
+        self.feature_fn = feature_fn
+
+    def init(self) -> FrechetState:
+        k = self.dim
+        z = jnp.zeros
+        return FrechetState(
+            real_sum=z((k,), jnp.float64),
+            real_cov_sum=z((k, k), jnp.float64),
+            real_n=z((), jnp.int64),
+            fake_sum=z((k,), jnp.float64),
+            fake_cov_sum=z((k, k), jnp.float64),
+            fake_n=z((), jnp.int64),
+        )
+
+    def update(
+        self, state: FrechetState, inputs: jax.Array, real: bool
+    ) -> FrechetState:
+        feats = (
+            self.feature_fn(inputs) if self.feature_fn is not None else inputs
+        )
+        feats = feats.astype(jnp.float64)
+        s = jnp.sum(feats, 0)
+        cov = feats.T @ feats
+        n = feats.shape[0]
+        if real:
+            return dataclasses.replace(
+                state,
+                real_sum=state.real_sum + s,
+                real_cov_sum=state.real_cov_sum + cov,
+                real_n=state.real_n + n,
+            )
+        return dataclasses.replace(
+            state,
+            fake_sum=state.fake_sum + s,
+            fake_cov_sum=state.fake_cov_sum + cov,
+            fake_n=state.fake_n + n,
+        )
+
+    def compute(self, state: FrechetState) -> float:
+        rn = int(state.real_n)
+        fn_ = int(state.fake_n)
+        if rn < 2 or fn_ < 2:
+            raise RuntimeError(
+                "Need >=2 real and fake samples to compute Fréchet distance"
+            )
+        mu_r = np.asarray(state.real_sum) / rn
+        mu_f = np.asarray(state.fake_sum) / fn_
+        cov_r = (
+            np.asarray(state.real_cov_sum) - rn * np.outer(mu_r, mu_r)
+        ) / (rn - 1)
+        cov_f = (
+            np.asarray(state.fake_cov_sum) - fn_ * np.outer(mu_f, mu_f)
+        ) / (fn_ - 1)
+        return _frechet_from_stats(mu_r, cov_r, mu_f, cov_f)

@@ -293,6 +293,11 @@ class DiTCrossviewTemporal(nn.Module):
                 encoder_hidden_states = encoder_hidden_states[:, :, None]
             if pooled_projections.ndim == 3:
                 pooled_projections = pooled_projections[:, :, None]
+            if added_time_ids is not None and added_time_ids.ndim == 3:
+                added_time_ids = added_time_ids[:, :, None]
+            if condition_image_tensor is not None and \
+                    condition_image_tensor.ndim == 5:
+                condition_image_tensor = condition_image_tensor[:, :, None]
         else:
             squeeze_view = False
 

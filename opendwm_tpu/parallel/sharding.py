@@ -45,7 +45,9 @@ def _fsdp_spec(shape: tuple[int, ...], fsdp_size: int, min_size=MIN_SHARD_SIZE):
     return P(*spec)
 
 
-def param_shardings(params, mesh: Mesh, policy: str = "fsdp"):
+def param_shardings(
+    params, mesh: Mesh, policy: str = "fsdp", min_shard_size=MIN_SHARD_SIZE
+):
     """A pytree of NamedSharding congruent to ``params``.
 
     policy:
@@ -60,7 +62,9 @@ def param_shardings(params, mesh: Mesh, policy: str = "fsdp"):
     if policy in ("fsdp", "hsdp"):
         axis_size = mesh.shape[AXIS_FSDP]
         return jax.tree.map(
-            lambda p: NamedSharding(mesh, _fsdp_spec(np.shape(p), axis_size)),
+            lambda p: NamedSharding(
+                mesh, _fsdp_spec(np.shape(p), axis_size, min_shard_size)
+            ),
             params,
         )
     if policy == "tp":
@@ -103,13 +107,21 @@ def shard_params(params, mesh: Mesh, policy: str = "fsdp"):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch pytree, sharding dim0 over the data axes."""
+    """Device-put a host batch pytree, sharding dim0 over the data axes.
+
+    Leaves whose leading dim is not divisible by the data-parallel size
+    (scalars, ragged aux fields, odd-sized tails) are replicated instead —
+    the reference sidesteps this by truncating datasets to world-size
+    multiples (evaluate.py:64-71); we keep that behavior for the main batch
+    and tolerate stragglers here.
+    """
     sh = batch_sharding(mesh)
+    n_data = data_parallel_size(mesh)
 
     def put(x):
-        return jax.device_put(x, sh) if np.ndim(x) >= 1 else jax.device_put(
-            x, replicated(mesh)
-        )
+        if np.ndim(x) >= 1 and np.shape(x)[0] % n_data == 0:
+            return jax.device_put(x, sh)
+        return jax.device_put(x, replicated(mesh))
 
     return jax.tree.map(put, batch)
 

@@ -1,0 +1,728 @@
+"""CTSD (cross-view temporal Stable Diffusion) pipeline, TPU-native.
+
+Capability parity with the reference ``CrossviewTemporalSD``
+(src/dwm/pipelines/ctsd.py:27-2007): training with flow-matching (SD3) or
+DDPM eps/v (UNet) objectives, per-(b[,t]) timestep sampling, condition
+dropout, reference-frame / diffusion-forcing input construction
+(:618-741), CFG inference with reference-latent injection and per-frame
+timestep queues (:1439-1654), autoregressive long-video rollout (:1656-1833).
+
+TPU-native redesign (not a translation):
+- The train step is a single pure jitted function over an explicit
+  ``TrainState``; DDP/FSDP/HSDP come from NamedSharding trees on the state
+  (opendwm_tpu.parallel), not wrapper classes. Gradients reduce via the
+  collectives XLA inserts for the sharded params (reduce-scatter under fsdp).
+- The denoise loop is one ``lax.scan`` over steps — per-frame timestep queues
+  become gathers on a precomputed (steps, t) index matrix, and the
+  "in-schedule-range" masking is a vectorized ``where``.
+- RNG is functional: one key per step, split per consumer, mirroring the
+  reference's deterministic CPU torch.Generator discipline.
+- bf16 compute / f32 params; no grad scaler (reference needs one for fp16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from opendwm_tpu.config import register
+from opendwm_tpu.parallel import mesh as mesh_lib
+from opendwm_tpu.parallel import sharding as sharding_lib
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+# ---------------------------------------------------------------------------
+# Condition assembly (reference get_conditions, ctsd.py:158-462)
+# ---------------------------------------------------------------------------
+
+def get_camera_transform_ids(batch: dict, common_config: dict) -> jax.Array:
+    """Numeric camera embedding ids: selected intrinsics normalized by image
+    size + selected extrinsics entries (reference ctsd.py:85-95)."""
+    intr = batch["camera_intrinsics"].reshape(
+        *batch["camera_intrinsics"].shape[:-2], 9
+    )
+    ii = jnp.asarray(common_config["camera_intrinsic_embedding_indices"])
+    di = jnp.asarray(common_config["camera_intrinsic_denom_embedding_indices"])
+    tr = batch["camera_transforms"].reshape(
+        *batch["camera_transforms"].shape[:-2], 16
+    )
+    ti = jnp.asarray(common_config["camera_transform_embedding_indices"])
+    return jnp.concatenate(
+        [intr[..., ii] / batch["image_size"][..., di], tr[..., ti]], -1
+    )
+
+
+def get_action_ids(batch: dict, common_config: dict, action_condition_mask):
+    """Speed (km/h) and steering derived from ego pose deltas
+    (reference ctsd.py:97-159). Unconditioned samples get -1000 sentinels."""
+    ego = batch["ego_transforms"][
+        :, :, common_config["camera_ego_sensor_indices"]
+    ]
+    eye = jnp.eye(4)
+    is_conditioned = (
+        jnp.abs(jnp.sum(ego - eye, axis=(1, 2, 3, 4))) > 1e-3
+    )
+    if action_condition_mask is not None:
+        is_conditioned = jnp.logical_and(is_conditioned, action_condition_mask)
+
+    rel = jnp.linalg.solve(ego[:, :-1], ego[:, 1:])
+    rel = jnp.concatenate([rel[:, :1], rel], axis=1)
+    dist = jnp.linalg.norm(rel[..., :3, 3], axis=-1, keepdims=True)
+    speed = 3.6 * dist * batch["fps"][:, None, None, None]
+    angles = jnp.arctan2(
+        rel[..., 1, 0:1] - rel[..., 0, 1:2],
+        rel[..., 0, 0:1] + rel[..., 1, 1:2],
+    )
+    wheel_base, steering_ratio = 2.7, 14.0
+    steering = jnp.where(
+        jnp.abs(dist) > 0.01,
+        angles / jnp.maximum(dist, 1e-6) * wheel_base * steering_ratio,
+        -1000.0,
+    )
+    ids = jnp.concatenate([speed, steering], -1)
+    return jnp.where(is_conditioned[:, None, None, None], ids, -1000.0)
+
+
+def get_conditions(
+    batch: dict,
+    common_config: dict,
+    *,
+    text_condition_mask=None,
+    box_condition_mask=None,
+    hdmap_condition_mask=None,
+    action_condition_mask=None,
+    do_classifier_free_guidance: bool = False,
+) -> dict:
+    """Assemble model kwargs from a canonical batch dict.
+
+    The batch carries *pre-encoded* text (``encoder_hidden_states``,
+    ``pooled_projections``; optional ``uncond_encoder_hidden_states`` /
+    ``uncond_pooled_projections`` for dropout and CFG) plus the rasterized
+    layout images (``3dbox_images``, ``hdmap_images``, channel-last in
+    [0, 1]). Text encoders run upstream (models.text_encoders) so that this
+    function is pure device compute.
+    """
+    conds: dict[str, Any] = {}
+    uncond_color = common_config.get("uncondition_image_color", 0.0)
+
+    # ---- text ------------------------------------------------------------
+    emb = batch.get("encoder_hidden_states")
+    pooled = batch.get("pooled_projections")
+    uncond_emb = batch.get("uncond_encoder_hidden_states")
+    uncond_pooled = batch.get("uncond_pooled_projections")
+    if emb is not None:
+        if uncond_emb is None:
+            uncond_emb = jnp.zeros_like(emb)
+        if text_condition_mask is not None:
+            m = text_condition_mask.reshape(-1, 1, 1, 1, 1)
+            emb = jnp.where(m, emb, uncond_emb)
+        if do_classifier_free_guidance:
+            emb = jnp.concatenate([uncond_emb, emb], 0)
+        conds["encoder_hidden_states"] = emb
+    if pooled is not None:
+        if uncond_pooled is None:
+            uncond_pooled = jnp.zeros_like(pooled)
+        if text_condition_mask is not None:
+            m = text_condition_mask.reshape(-1, 1, 1, 1)
+            pooled = jnp.where(m, pooled, uncond_pooled)
+        if do_classifier_free_guidance:
+            pooled = jnp.concatenate([uncond_pooled, pooled], 0)
+        conds["pooled_projections"] = pooled
+
+    # ---- layout condition images ------------------------------------------
+    images = []
+    for key, mask in (
+        ("3dbox_images", box_condition_mask),
+        ("hdmap_images", hdmap_condition_mask),
+    ):
+        if key in batch and batch[key] is not None:
+            img = batch[key]
+            if mask is not None:
+                img = jnp.where(
+                    mask.reshape(-1, 1, 1, 1, 1, 1), img, uncond_color
+                )
+            images.append(img)
+    if images:
+        cond_img = jnp.concatenate(images, -1)
+        if do_classifier_free_guidance:
+            cond_img = jnp.concatenate(
+                [jnp.full_like(cond_img, uncond_color), cond_img], 0
+            )
+        conds["condition_image_tensor"] = cond_img
+
+    # ---- numeric conditions -------------------------------------------------
+    added_mode = common_config.get("added_time_ids")
+    if added_mode is None and "added_time_ids" in batch:
+        # Precomputed ids (e.g. exported preview batches) pass through.
+        ids = batch["added_time_ids"]
+        if do_classifier_free_guidance:
+            ids = jnp.concatenate([ids, ids], 0)
+        conds["added_time_ids"] = ids
+    if added_mode in ("fps_camera_transforms", "fps_camera_transforms_action"):
+        b, t, v = batch["camera_transforms"].shape[:3]
+        fps = jnp.broadcast_to(
+            batch["fps"][:, None, None, None], (b, t, v, 1)
+        )
+        parts = [fps, get_camera_transform_ids(batch, common_config)]
+        if added_mode == "fps_camera_transforms_action":
+            parts.append(
+                get_action_ids(batch, common_config, action_condition_mask)
+            )
+        ids = jnp.concatenate(parts, -1)
+        if do_classifier_free_guidance:
+            if added_mode == "fps_camera_transforms_action":
+                uncond = jnp.concatenate(
+                    [ids[..., :-2], jnp.full_like(ids[..., -2:], -1000.0)], -1
+                )
+            else:
+                uncond = ids
+            ids = jnp.concatenate([uncond, ids], 0)
+        conds["added_time_ids"] = ids
+
+    # ---- explicit view modeling (UniMLVG) ---------------------------------
+    if common_config.get("explicit_view_modeling", False):
+        ego = batch.get("ego_transforms")
+        cam = batch["camera_transforms"]
+        if ego is None:
+            ego = jnp.broadcast_to(jnp.eye(4), cam.shape[:3] + (4, 4))
+        else:
+            ego = ego[:, :, -cam.shape[2]:]
+        cam2world = ego @ cam
+        ref_inv = jnp.linalg.inv(ego[:, 0, 0])[:, None, None]
+        cam2referego = ref_inv @ cam2world
+        intr = batch["camera_intrinsics"]
+        size = batch["image_size"]  # (b, t, v, 2) as (w, h)
+        norm = jnp.stack(
+            [
+                intr[..., 0, 0] / size[..., 0],
+                intr[..., 1, 1] / size[..., 1],
+                intr[..., 0, 2] / size[..., 0],
+                intr[..., 1, 2] / size[..., 1],
+            ],
+            -1,
+        )
+        k = jnp.zeros_like(intr)
+        k = k.at[..., 0, 0].set(norm[..., 0])
+        k = k.at[..., 1, 1].set(norm[..., 1])
+        k = k.at[..., 0, 2].set(norm[..., 2])
+        k = k.at[..., 1, 2].set(norm[..., 3])
+        k = k.at[..., 2, 2].set(1.0)
+        if do_classifier_free_guidance:
+            k = jnp.concatenate([k, k], 0)
+            cam2referego = jnp.concatenate([cam2referego, cam2referego], 0)
+        conds["camera_intrinsics_norm"] = k
+        conds["camera2referego"] = cam2referego
+
+    # ---- crossview/temporal switches ----------------------------------------
+    b = next(iter(batch.values())).shape[0]
+    bb = 2 * b if do_classifier_free_guidance else b
+    conds["disable_crossview"] = jnp.full(
+        (bb,), common_config.get("disable_crossview", False)
+    )
+    conds["disable_temporal"] = jnp.full(
+        (bb,), common_config.get("disable_temporal", False)
+    )
+    return conds
+
+
+# ---------------------------------------------------------------------------
+# Reference-frame / diffusion-forcing input construction
+# (reference ctsd.py:618-741)
+# ---------------------------------------------------------------------------
+
+def make_input_for_prediction(
+    rng: jax.Array,
+    noisy_input: jax.Array,
+    latents: jax.Array,
+    timesteps: jax.Array,
+    training_config: dict,
+    common_config: dict,
+    reference_latent_count: int | dict = 0,
+):
+    """Returns (model_input, timesteps, extra_conditions, ref_indicator).
+
+    Styles (common_config["frame_prediction_style"]):
+      - None: passthrough.
+      - "diffusion_forcing": per-(b,t) noise levels already sampled upstream;
+        optionally flags image-generation samples (temporal disabled) and
+        augments non-image samples with reference scale/offset noise.
+      - "ctsd": splits the batch into generation vs prediction tasks; for
+        prediction tasks the first k frames are replaced by clean latents at
+        timestep 0 (the reference-frame conditioning used for video rollout).
+    """
+    b, t, v = latents.shape[:3]
+    k_scale, k_offset, k_task, k_img, k_allvis, k_partial, k_count = (
+        jax.random.split(rng, 7)
+    )
+
+    scale_std = training_config.get("reference_frame_scale_std")
+    offset_std = training_config.get("reference_frame_offset_std")
+    rf_scale = (
+        jax.random.normal(k_scale, (b, t, 1, 1, 1, 1)) * scale_std + 1
+        if scale_std is not None
+        else 1.0
+    )
+    rf_offset = (
+        jax.random.normal(k_offset, (b, t, 1, 1, 1, 1)) * offset_std
+        if offset_std is not None
+        else 0.0
+    )
+
+    style = common_config.get("frame_prediction_style")
+    if style is None:
+        return noisy_input, timesteps, {}, jnp.zeros((b, t, v), bool)
+
+    if style == "diffusion_forcing":
+        disable_temporal = (
+            jax.random.uniform(k_img, (b,))
+            < training_config.get("image_generation_ratio", 0.0)
+        )
+        made = jnp.where(
+            disable_temporal[:, None, None, None, None, None],
+            noisy_input,
+            noisy_input * rf_scale + rf_offset,
+        )
+        return (
+            made,
+            timesteps,
+            {"disable_temporal": disable_temporal},
+            jnp.zeros((b, t, v), bool),
+        )
+
+    if style != "ctsd":
+        raise ValueError(f"Unknown frame_prediction_style {style!r}")
+
+    generation_task = (
+        jax.random.uniform(k_task, (b, 1, 1))
+        < training_config.get("generation_task_ratio", 0.0)
+    )
+    disable_temporal = jnp.logical_and(
+        jax.random.uniform(k_img, (b, 1, 1))
+        < training_config.get("image_generation_ratio", 0.0),
+        generation_task,
+    )
+    all_visible = (
+        jax.random.uniform(k_allvis, (b, 1, 1))
+        < training_config.get("all_reference_visible_ratio", 0.0)
+    )
+    partial_visible = (
+        jax.random.uniform(k_partial, (b, t, v))
+        < training_config.get("reference_visible_rate", 1.0)
+    )
+
+    if isinstance(reference_latent_count, dict):
+        counts = jnp.asarray(
+            [int(c) for c in reference_latent_count.keys()], jnp.int32
+        )
+        cumsum = jnp.cumsum(
+            jnp.asarray(list(reference_latent_count.values()), jnp.float32)
+        )
+        idx = jnp.searchsorted(cumsum, jax.random.uniform(k_count, (b, 1, 1)))
+        ref_count = counts[jnp.clip(idx, 0, len(counts) - 1)]
+    else:
+        ref_count = jnp.full((b, 1, 1), int(reference_latent_count), jnp.int32)
+
+    within_count = (
+        jnp.arange(t, dtype=jnp.int32)[None, :, None] < ref_count
+    )
+    ref_indicator = jnp.logical_and(
+        jnp.logical_and(
+            jnp.logical_not(generation_task),
+            jnp.logical_or(all_visible, partial_visible),
+        ),
+        within_count,
+    )
+
+    made = jnp.where(
+        ref_indicator[..., None, None, None],
+        latents * rf_scale + rf_offset,
+        noisy_input,
+    )
+    made_t = jnp.where(ref_indicator, jnp.zeros_like(timesteps), timesteps)
+    return (
+        made,
+        made_t,
+        {"disable_temporal": disable_temporal.reshape(b)},
+        ref_indicator,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+@register("CTSDPipeline", aliases=("dwm.pipelines.ctsd.CrossviewTemporalSD",))
+class CTSDPipeline:
+    """Train/inference driver for the crossview-temporal denoisers.
+
+    Works on the canonical batch dict (latent-space; VAE encode/decode and
+    text encoding are separate stages — see models.autoencoders /
+    models.text_encoders). ``model_type`` selects the objective:
+    "sd3" → flow matching with x0 preconditioning, "unet" → DDPM eps/v.
+    """
+
+    def __init__(
+        self,
+        model,
+        train_scheduler,
+        test_scheduler,
+        common_config: Optional[dict] = None,
+        training_config: Optional[dict] = None,
+        inference_config: Optional[dict] = None,
+        optimizer_config: Optional[dict] = None,
+        mesh=None,
+        model_type: str = "sd3",
+        sharding_policy: Optional[str] = None,
+        sharding_min_size: int = sharding_lib.MIN_SHARD_SIZE,
+    ):
+        self.model = model
+        self.train_scheduler = train_scheduler
+        self.test_scheduler = test_scheduler
+        self.common_config = common_config or {}
+        self.training_config = training_config or {}
+        self.inference_config = inference_config or {}
+        self.model_type = model_type
+        self.mesh = mesh or mesh_lib.make_mesh()
+        self.policy = sharding_policy or self.common_config.get(
+            "distribution_framework", "fsdp"
+        )
+        self.sharding_min_size = sharding_min_size
+        oc = optimizer_config or {}
+        tx = optax.adamw(
+            learning_rate=oc.get("lr", 1e-4),
+            b1=oc.get("beta1", 0.9),
+            b2=oc.get("beta2", 0.999),
+            weight_decay=oc.get("weight_decay", 0.01),
+        )
+        clip = self.training_config.get("max_norm_for_grad_clip")
+        if clip is not None:
+            tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+        accum = self.training_config.get("gradient_accumulation_steps")
+        if accum and accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        self.tx = tx
+        self._jit_cache: dict = {}
+
+    # -- state ----------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, example_batch: dict) -> TrainState:
+        conds = get_conditions(example_batch, self.common_config)
+        latents = example_batch["latents"]
+        b, t, v = latents.shape[:3]
+        params = self.model.init(
+            rng,
+            sample=latents,
+            timestep=jnp.zeros((b, t, v)),
+            **conds,
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params["params"]),
+        )
+        return self.shard_state(state)
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        shardings = self.state_shardings(state)
+        return jax.tree.map(jax.device_put, state, shardings)
+
+    def state_shardings(self, state: TrainState):
+        # param_shardings is shape-driven per leaf, so it applies uniformly
+        # to params and to the optimizer moments mirroring them (ZeRO: the
+        # optimizer state shards exactly like its parameter).
+        return TrainState(
+            step=sharding_lib.replicated(self.mesh),
+            params=sharding_lib.param_shardings(
+                state.params, self.mesh, self.policy, self.sharding_min_size
+            ),
+            opt_state=sharding_lib.param_shardings(
+                state.opt_state, self.mesh, self.policy,
+                self.sharding_min_size,
+            ),
+        )
+
+    # -- training ---------------------------------------------------------------
+
+    def loss_fn(self, params, batch, rng):
+        latents = batch["latents"]  # (b, t, v, h, w, c)
+        b, t, v = latents.shape[:3]
+        tc = self.training_config
+        k_noise, k_time, k_text, k_box, k_map, k_act, k_pred = (
+            jax.random.split(rng, 7)
+        )
+        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+
+        df_mode = self.common_config.get(
+            "frame_prediction_style"
+        ) == "diffusion_forcing"
+        t_shape = (b, t) if df_mode else (b,)
+
+        if self.model_type == "sd3":
+            indices = self.train_scheduler.sample_train_indices(
+                k_time, t_shape,
+                weighting_scheme=tc.get("weighting_scheme", "logit_normal"),
+            )
+            sigmas = self.train_scheduler.sigmas_at(indices)
+            timesteps = self.train_scheduler.timesteps_at(indices)
+            while sigmas.ndim < latents.ndim:
+                sigmas = sigmas[..., None]
+            noisy = sigmas * noise + (1.0 - sigmas) * latents
+            target = latents
+        else:  # unet / ddpm family
+            timesteps = jax.random.randint(
+                k_time, t_shape, 0, self.train_scheduler.num_train_timesteps
+            )
+            noisy = self.train_scheduler.add_noise(latents, noise, timesteps)
+            target = self.train_scheduler.training_target(
+                latents, noise, timesteps
+            )
+            sigmas = None
+
+        while timesteps.ndim < 3:
+            timesteps = jnp.repeat(
+                timesteps[..., None], latents.shape[timesteps.ndim], -1
+            )
+
+        masks = {
+            "text_condition_mask": (
+                jax.random.uniform(k_text, (b,))
+                < tc.get("text_prompt_condition_ratio", 1.0)
+            ),
+            "box_condition_mask": (
+                jax.random.uniform(k_box, (b,))
+                < tc.get("3dbox_condition_ratio", 1.0)
+            ),
+            "hdmap_condition_mask": (
+                jax.random.uniform(k_map, (b,))
+                < tc.get("hdmap_condition_ratio", 1.0)
+            ),
+            "action_condition_mask": (
+                jax.random.uniform(k_act, (b,))
+                < tc.get("action_condition_ratio", 1.0)
+            ),
+        }
+        conds = get_conditions(batch, self.common_config, **masks)
+
+        noisy, timesteps, extra, ref_indicator = make_input_for_prediction(
+            k_pred, noisy, latents, timesteps, tc, self.common_config,
+            tc.get("reference_latent_count", 0),
+        )
+        conds.update(extra)
+
+        pred = self.model.apply(
+            {"params": params}, sample=noisy, timestep=timesteps, **conds
+        )
+        if self.model_type == "sd3":
+            pred_latent = pred * (-sigmas) + noisy
+        else:
+            pred_latent = pred
+
+        if tc.get("disable_reference_frame_loss", False):
+            keep = ~ref_indicator[..., None, None, None]
+            pred_latent = pred_latent * keep
+            target = target * keep
+
+        loss = jnp.mean(
+            (pred_latent.astype(jnp.float32) - target.astype(jnp.float32))
+            ** 2
+        )
+        return loss, {"sd_loss": loss}
+
+    def _train_step_impl(self, state: TrainState, batch: dict, rng):
+        grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(state.params["params"], batch, rng)
+
+        def wrap(p):
+            return {"params": p}
+
+        grads = wrap(grads)
+
+        updates, new_opt = self.tx.update(
+            grads["params"], state.opt_state, state.params["params"]
+        )
+        new_params = {
+            "params": optax.apply_updates(state.params["params"], updates)
+        }
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads["params"])
+        return (
+            TrainState(
+                step=state.step + 1, params=new_params, opt_state=new_opt
+            ),
+            metrics,
+        )
+
+    def train_step(self, state: TrainState, batch: dict, rng):
+        """Jitted, donated, sharded train step."""
+        if "train" not in self._jit_cache:
+            shardings = self.state_shardings(state)
+            self._jit_cache["train"] = jax.jit(
+                self._train_step_impl,
+                donate_argnums=(0,),
+                out_shardings=(shardings, None),
+            )
+        return self._jit_cache["train"](state, batch, rng)
+
+    # -- inference ---------------------------------------------------------------
+
+    def inference_pipeline(
+        self,
+        params,
+        batch: dict,
+        latent_shape: tuple,
+        rng: jax.Array,
+        image_latents: Optional[jax.Array] = None,
+        reference_frame_count: int = 0,
+    ) -> jax.Array:
+        """Full-sequence (or diffusion-forcing) denoise → latents.
+
+        One compiled `lax.scan` over inference steps; CFG duplicates the
+        batch; reference latents are injected at timestep 0 each step
+        (reference ctsd.py:1496-1575).
+        """
+        ic = self.inference_config
+        n_steps = ic["inference_steps"]
+        guidance_scale = ic.get("guidance_scale", 1.0)
+        do_cfg = "guidance_scale" in ic
+        b, t, v = latent_shape[:3]
+        df_mode = self.common_config.get(
+            "frame_prediction_style"
+        ) == "diffusion_forcing"
+
+        conds = get_conditions(
+            batch, self.common_config, do_classifier_free_guidance=do_cfg
+        )
+
+        sched = self.test_scheduler
+        is_flow = hasattr(sched, "inference_sigmas")
+        if is_flow:
+            ts_table = jnp.asarray(sched.inference_timesteps(n_steps))
+        else:
+            ts_table = jnp.asarray(sched.timesteps(n_steps))
+
+        latents0 = (
+            image_latents
+            if (df_mode and image_latents is not None)
+            else jax.random.normal(rng, latent_shape, jnp.float32)
+        )
+
+        if df_mode:
+            clear = ic.get("clear_reference_frame_count", 0)
+            assert n_steps % (t - clear) == 0
+            steps_per_frame = n_steps // (t - clear)
+            frame_offsets = jnp.arange(t) * steps_per_frame
+        else:
+            steps_per_frame = None
+            frame_offsets = None
+
+        model = self.model
+
+        def body(latents, i):
+            if df_mode:
+                idx = jnp.minimum(
+                    jnp.maximum(0, i - frame_offsets), i
+                )  # (t,) per-frame ladder positions
+                step_indices = jnp.broadcast_to(
+                    idx[None, :, None], (b, t, v)
+                )
+                timesteps = ts_table[step_indices]
+            else:
+                step_indices = None
+                timesteps = jnp.full((b, t, v), ts_table[i])
+
+            model_input = latents
+            if not df_mode and image_latents is not None and \
+                    reference_frame_count > 0:
+                ref_mask = (
+                    jnp.arange(t)[None, :, None] < reference_frame_count
+                )
+                model_input = jnp.where(
+                    ref_mask[..., None, None, None],
+                    image_latents,
+                    model_input,
+                )
+                timesteps = jnp.where(ref_mask, 0.0, timesteps)
+
+            if do_cfg:
+                model_input = jnp.concatenate([model_input, model_input], 0)
+                ts_input = jnp.concatenate([timesteps, timesteps], 0)
+            else:
+                ts_input = timesteps
+
+            pred = model.apply(
+                params, sample=model_input, timestep=ts_input, **conds
+            )
+            if do_cfg:
+                uncond, cond = jnp.split(pred, 2, 0)
+                pred = uncond + guidance_scale * (cond - uncond)
+
+            if df_mode:
+                staged = sched.step_by_indices(
+                    pred, step_indices, latents, n_steps
+                )
+                in_range = (i - frame_offsets >= 0)[None, :, None, None, None,
+                                                    None]
+                latents = jnp.where(in_range, staged, latents)
+            elif is_flow:
+                latents = sched.step_by_indices(
+                    pred, jnp.full((b, t, v), i), latents, n_steps
+                )
+            else:
+                latents = sched.step(pred, timesteps, latents, n_steps)
+            return latents, ()
+
+        latents, _ = jax.lax.scan(body, latents0, jnp.arange(n_steps))
+
+        if not df_mode and image_latents is not None and \
+                reference_frame_count > 0:
+            ref_mask = jnp.arange(t)[None, :, None, None, None, None] < \
+                reference_frame_count
+            latents = jnp.where(ref_mask, image_latents, latents)
+        return latents
+
+    def autoregressive_inference_pipeline(
+        self,
+        params,
+        batch: dict,
+        latent_shape: tuple,
+        rng: jax.Array,
+        total_frames: int,
+        reference_frame_count: int = 1,
+    ) -> jax.Array:
+        """Long-video rollout: denoise a window, slide forward carrying the
+        last frames as reference latents (reference ctsd.py:1656-1833)."""
+        b, t, v = latent_shape[:3]
+        stride = t - reference_frame_count
+        n_windows = max(1, -(-(total_frames - t) // stride) + 1)
+        outputs = []
+        image_latents = None
+        for w in range(n_windows):
+            rng, step_rng = jax.random.split(rng)
+            lat = self.inference_pipeline(
+                params, batch, latent_shape, step_rng,
+                image_latents=image_latents,
+                reference_frame_count=(
+                    reference_frame_count if image_latents is not None else 0
+                ),
+            )
+            keep = lat if w == 0 else lat[:, reference_frame_count:]
+            outputs.append(keep)
+            tail = lat[:, -reference_frame_count:]
+            pad = jnp.zeros(
+                (b, t - reference_frame_count) + lat.shape[2:], lat.dtype
+            )
+            image_latents = jnp.concatenate([tail, pad], 1)
+        return jnp.concatenate(outputs, 1)[:, :total_frames]
