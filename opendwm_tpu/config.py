@@ -107,8 +107,26 @@ def _lazy_import_for(class_name: str) -> bool:
 _CORE_MODULES = (
     "opendwm_tpu.schedulers",
     "opendwm_tpu.models.mmdit",
+    "opendwm_tpu.models.unet",
     "opendwm_tpu.models.adapters",
+    "opendwm_tpu.models.autoencoders",
+    "opendwm_tpu.models.text_encoders",
+    "opendwm_tpu.models.vq_point_cloud",
+    "opendwm_tpu.models.vae_point_cloud",
+    "opendwm_tpu.models.maskgit",
+    "opendwm_tpu.models.depth_net",
+    "opendwm_tpu.pipelines.ctsd",
+    "opendwm_tpu.pipelines.lidar_vqvae",
+    "opendwm_tpu.pipelines.lidar_vae",
+    "opendwm_tpu.pipelines.lidar_maskgit",
+    "opendwm_tpu.pipelines.lidar_diffusion",
+    "opendwm_tpu.datasets.common",
+    "opendwm_tpu.datasets.synthetic",
+    "opendwm_tpu.datasets.nuscenes",
+    "opendwm_tpu.metrics",
+    "opendwm_tpu.utils.sampler",
     "opendwm_tpu.parallel",
+    "opendwm_tpu.ops.voxelize",
 )
 _core_loaded = False
 

@@ -1,0 +1,201 @@
+"""Training CLI.
+
+Mirrors the reference entry point (src/dwm/train.py:46-214): a JSON config
+is reflected into a pipeline + datasets, then a step loop dispatches
+``train_step`` / ``log`` / ``preview_pipeline`` / ``save_checkpoint`` /
+``evaluate_pipeline`` at configured intervals.
+
+    python -m opendwm_tpu.train -c config.json -o output/ \
+        [--resume-from STEP]
+
+TPU-native differences: no torchrun/process groups — `jax.distributed` +
+the config's mesh spec cover multi-host; the train state is an explicit
+functional object checkpointed via Orbax; RNG is a threaded key seeded from
+``generator_seed``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Any, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opendwm_tpu import checkpoint as ckpt_lib
+from opendwm_tpu.config import create_instance_from_config, global_state
+from opendwm_tpu.parallel.sharding import shard_batch
+
+
+def create_parser():
+    parser = argparse.ArgumentParser(
+        description="Train a world model pipeline from a JSON config."
+    )
+    parser.add_argument("-c", "--config-path", required=True)
+    parser.add_argument("-o", "--output-path", required=True)
+    parser.add_argument("--resume-from", type=int, default=None)
+    parser.add_argument("--log-steps", type=int, default=100)
+    parser.add_argument("--preview-steps", type=int, default=0)
+    parser.add_argument("--evaluation-steps", type=int, default=0)
+    parser.add_argument("--checkpointing-steps", type=int, default=0)
+    parser.add_argument("--max-steps", type=int, default=None)
+    return parser
+
+
+class JsonlLogger:
+    """stdout + {output}/log/events.jsonl (the reference's TensorBoard
+    scalars become structured JSONL; TensorBoard hookup is optional)."""
+
+    def __init__(self, output_path: str):
+        self.dir = os.path.join(output_path, "log")
+        os.makedirs(self.dir, exist_ok=True)
+        self.f = open(os.path.join(self.dir, "events.jsonl"), "a")
+
+    def log(self, step: int, values: dict):
+        payload = {"step": step}
+        for k, v in values.items():
+            try:
+                payload[k] = float(v)
+            except (TypeError, ValueError):
+                payload[k] = str(v)
+        self.f.write(json.dumps(payload) + "\n")
+        self.f.flush()
+        msg = " ".join(
+            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in payload.items()
+        )
+        print(msg, flush=True)
+
+
+def batch_iterator(
+    dataset, batch_size: int, collate_fn, sampler=None, seed: int = 0
+) -> Iterable[dict]:
+    """Minimal host-side loader: sampler (bucket or shuffled-range) →
+    collate. Runs in-process; swap for a multiprocess loader when the data
+    plane becomes the bottleneck."""
+    if sampler is not None:
+        while True:
+            for micro in sampler:
+                yield collate_fn([dataset[i] for i in micro])
+            sampler.set_epoch(getattr(sampler, "epoch", 0) + 1)
+    rng = np.random.default_rng(seed)
+    while True:
+        order = rng.permutation(len(dataset))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            yield collate_fn([dataset[j] for j in order[i: i + batch_size]])
+
+
+def to_device_batch(batch: dict, mesh) -> dict:
+    """numpy → device arrays, dropping non-array fields."""
+    arrays = {
+        k: v
+        for k, v in batch.items()
+        if isinstance(v, (np.ndarray, jnp.ndarray))
+    }
+    return shard_batch(arrays, mesh)
+
+
+def main(args=None):
+    args = args or create_parser().parse_args()
+    with open(args.config_path) as f:
+        config = json.load(f)
+
+    # Device setup must precede backend init (the shell may preset
+    # JAX_PLATFORMS=<tpu plugin>; configs can pin cpu + virtual devices for
+    # local runs, mirroring the test harness).
+    if "jax_platform" in config:
+        jax.config.update("jax_platforms", config["jax_platform"])
+    if "num_virtual_cpu_devices" in config:
+        jax.config.update(
+            "jax_num_cpu_devices", config["num_virtual_cpu_devices"]
+        )
+
+    if "global_state" in config:
+        for key, value in config["global_state"].items():
+            global_state[key] = create_instance_from_config(value)
+
+    seed = config.get("generator_seed", 0)
+    rng = jax.random.PRNGKey(seed)
+
+    pipeline = create_instance_from_config(config["pipeline"])
+
+    dataset = create_instance_from_config(config["training_dataset"])
+    collate = create_instance_from_config(
+        config.get("training_collate_fn", {})
+    ) or (lambda items: items[0])
+    sampler = None
+    if "training_sampler" in config:
+        sampler = create_instance_from_config(
+            config["training_sampler"], dataset=dataset
+        )
+    loader = batch_iterator(
+        dataset, config.get("batch_size", 1), collate, sampler, seed
+    )
+
+    first = next(loader)
+    device_batch = to_device_batch(first, pipeline.mesh)
+    rng, init_rng = jax.random.split(rng)
+    state = pipeline.init_state(init_rng, device_batch)
+
+    if args.resume_from is not None:
+        state = ckpt_lib.load_checkpoint(
+            args.output_path, args.resume_from, state
+        )
+        print(f"resumed from step {args.resume_from}")
+
+    logger = JsonlLogger(args.output_path)
+    max_steps = args.max_steps or config.get("train_steps", 1000)
+    durations: list[float] = []
+    global_step = int(state.step)
+
+    batch = device_batch
+    while global_step < max_steps:
+        t0 = time.time()
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = pipeline.train_step(state, batch, step_rng)
+        global_step += 1
+
+        if global_step % args.log_steps == 0:
+            jax.block_until_ready(metrics)
+            durations.append(time.time() - t0)
+            logger.log(
+                global_step,
+                dict(metrics, s_per_step=float(np.mean(durations[-20:]))),
+            )
+        else:
+            durations.append(time.time() - t0)
+
+        if (
+            args.checkpointing_steps
+            and global_step % args.checkpointing_steps == 0
+        ):
+            ckpt_lib.save_checkpoint(args.output_path, global_step, state)
+
+        if (
+            args.evaluation_steps
+            and global_step % args.evaluation_steps == 0
+            and hasattr(pipeline, "evaluate_pipeline")
+        ):
+            pipeline.evaluate_pipeline(state, global_step, logger=logger)
+
+        if (
+            args.preview_steps
+            and global_step % args.preview_steps == 0
+            and hasattr(pipeline, "preview_pipeline")
+        ):
+            pipeline.preview_pipeline(
+                state, batch, args.output_path, global_step
+            )
+
+        batch = to_device_batch(next(loader), pipeline.mesh)
+
+    ckpt_lib.save_checkpoint(args.output_path, global_step, state)
+    print(f"done at step {global_step}")
+
+
+if __name__ == "__main__":
+    main()
