@@ -77,6 +77,7 @@ _LAZY_MODULES: dict[str, str] = {
     "dwm.schedulers.temporal_independent": "opendwm_tpu.schedulers",
     "diffusers": "opendwm_tpu.schedulers",
     "dwm.pipelines.ctsd": "opendwm_tpu.pipelines.ctsd",
+    "dwm.pipelines.unimlvg": "opendwm_tpu.pipelines.unimlvg",
     "dwm.pipelines.lidar_vqvae": "opendwm_tpu.pipelines.lidar_vqvae",
     "dwm.pipelines.lidar_vae": "opendwm_tpu.pipelines.lidar_vae",
     "dwm.pipelines.lidar_maskgit": "opendwm_tpu.pipelines.lidar_maskgit",
@@ -116,6 +117,7 @@ _CORE_MODULES = (
     "opendwm_tpu.models.maskgit",
     "opendwm_tpu.models.depth_net",
     "opendwm_tpu.pipelines.ctsd",
+    "opendwm_tpu.pipelines.unimlvg",
     "opendwm_tpu.pipelines.lidar_vqvae",
     "opendwm_tpu.pipelines.lidar_vae",
     "opendwm_tpu.pipelines.lidar_maskgit",

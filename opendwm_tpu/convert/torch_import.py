@@ -346,3 +346,52 @@ def convert_ctsd_dit(sd: Mapping[str, np.ndarray], num_layers: int) -> dict:
     linear(sd, tree, "norm_out.linear", "norm_out/linear")
     linear(sd, tree, "proj_out", "proj_out")
     return {"params": tree}
+
+
+# ---------------------------------------------------------------------------
+# I3D (TATS pytorch_i3d) and FID InceptionV3
+# ---------------------------------------------------------------------------
+
+def conv3d(sd, tree, src: str, dst: str):
+    w = sd[f"{src}.weight"]
+    _set(tree, f"{dst}/kernel", w.transpose(2, 3, 4, 1, 0))
+    if f"{src}.bias" in sd:
+        _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+
+
+def _batch_norm(sd, params, stats, src: str, dst: str):
+    _set(params, f"{dst}/scale", sd[f"{src}.weight"])
+    _set(params, f"{dst}/bias", sd[f"{src}.bias"])
+    _set(stats, f"{dst}/mean", sd[f"{src}.running_mean"])
+    _set(stats, f"{dst}/var", sd[f"{src}.running_var"])
+
+
+def convert_i3d(sd: Mapping[str, np.ndarray]) -> dict:
+    """TATS i3d_pretrained_400.pt → flax InceptionI3d variables."""
+    params: dict = {}
+    stats: dict = {}
+    units = set()
+    for k in sd:
+        if k.endswith("conv3d.weight"):
+            units.add(k[: -len(".conv3d.weight")])
+    for unit in sorted(units):
+        dst = unit.replace(".", "/")
+        conv3d(sd, params, f"{unit}.conv3d", f"{dst}/conv3d")
+        if f"{unit}.bn.weight" in sd:
+            _batch_norm(sd, params, stats, f"{unit}.bn", f"{dst}/bn")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_fid_inception(sd: Mapping[str, np.ndarray]) -> dict:
+    """pt_inception-2015-12-05 (torchmetrics FID net) → flax variables."""
+    params: dict = {}
+    stats: dict = {}
+    convs = set()
+    for k in sd:
+        if k.endswith(".conv.weight"):
+            convs.add(k[: -len(".conv.weight")])
+    for unit in sorted(convs):
+        dst = unit.replace(".", "/")
+        conv(sd, params, f"{unit}.conv", f"{dst}/conv")
+        _batch_norm(sd, params, stats, f"{unit}.bn", f"{dst}/bn")
+    return {"params": params, "batch_stats": stats}

@@ -123,3 +123,43 @@ class FrechetDistance:
             np.asarray(state.fake_cov_sum) - fn_ * np.outer(mu_f, mu_f)
         ) / (fn_ - 1)
         return _frechet_from_stats(mu_r, cov_r, mu_f, cov_f)
+
+
+@register("FrechetPairedMetric")
+class FrechetPairedMetric:
+    """Stateful update(real, fake)/compute()/reset() wrapper used by
+    ``evaluate_pipeline`` (the torchmetrics-style protocol of the reference
+    configs, e.g. ctsd_35_tirda_bm_nwao.json:268-278).
+
+    ``feature_fn`` maps (..., H, W, C) media to (n, num_features) features —
+    plug an InceptionV3/I3D feature extractor for true FID/FVD; the default
+    channel-pool features give a cheap distributional proxy for smoke eval.
+    """
+
+    def __init__(self, num_features: int, feature_fn: Optional[Callable] = None):
+        self._metric = FrechetDistance(num_features, feature_fn
+                                       or self._default_features)
+        self.num_features = num_features
+        self.reset()
+
+    def _default_features(self, x):
+        x = jnp.asarray(x)
+        flat = x.reshape((-1,) + x.shape[-3:])  # (n, H, W, C)
+        feats = jnp.concatenate(
+            [
+                flat.mean(axis=(1, 2)),
+                flat.std(axis=(1, 2)),
+            ],
+            axis=-1,
+        )
+        return feats[:, : self.num_features]
+
+    def reset(self):
+        self.state = self._metric.init()
+
+    def update(self, real, fake):
+        self.state = self._metric.update(self.state, real, real=True)
+        self.state = self._metric.update(self.state, fake, real=False)
+
+    def compute(self) -> float:
+        return self._metric.compute(self.state)

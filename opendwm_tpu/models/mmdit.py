@@ -251,6 +251,8 @@ class DiTCrossviewTemporal(nn.Module):
     projection_class_embeddings_input_dim: Optional[int] = None
     # Condition adapter.
     condition_image_adapter_config: Optional[dict] = None
+    # MaskGWM masked-reconstruction module (models.mask_layers).
+    mask_module_config: Optional[dict] = None
     # Remat.
     gradient_checkpointing: bool = False
     crossview_gradient_checkpointing: bool = False
@@ -284,6 +286,7 @@ class DiTCrossviewTemporal(nn.Module):
         disable_crossview: Optional[jax.Array] = None,
         disable_temporal: Optional[jax.Array] = None,
         crossview_attention_mask: Optional[jax.Array] = None,
+        mask_rng: Optional[jax.Array] = None,
     ) -> jax.Array:
         if sample.ndim == 5:  # single-view input (b, t, h, w, c)
             squeeze_view = True
@@ -375,6 +378,45 @@ class DiTCrossviewTemporal(nn.Module):
         if disable_temporal is None:
             disable_temporal = jnp.zeros((b,), dtype=bool)
 
+        # --- MaskGWM: drop tokens before the blocks --------------------------
+        mask_controller = None
+        mask_metas = None
+        cur_gw = gw
+        if self.mask_module_config is not None and mask_rng is not None:
+            from opendwm_tpu.models.mask_layers import MaskController
+
+            mask_controller = MaskController(
+                hidden_size=dim, num_heads=self.num_attention_heads,
+                attention_head_dim=self.attention_head_dim,
+                **self.mask_module_config, dtype=compute,
+                name="mask_module",
+            )
+            # group by (b, v) with t as the frame axis (reference :465-471)
+            xg = x.reshape(b, t, v, gh * gw, dim).transpose(0, 2, 1, 3, 4)
+            xg = xg.reshape(b * v, t, gh * gw, dim)
+            xg, mask_metas, _ = mask_controller.random_masking(
+                mask_rng, xg, gh, gw
+            )
+            keep = xg.shape[2]
+            x = xg.reshape(b, v, t, keep, dim).transpose(0, 2, 1, 3, 4)
+            x = x.reshape(n, keep, dim)
+            cur_gw = keep // gh
+            residuals = [
+                jnp.take_along_axis(
+                    r.reshape(b, t, v, gh * gw, dim)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(b * v * t, gh * gw, dim),
+                    jnp.repeat(
+                        mask_metas["ids_keep"][..., None], dim, -1
+                    ),
+                    axis=1,
+                )
+                .reshape(b, v, t, keep, dim)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(n, keep, dim)
+                for r in residuals
+            ]
+
         crossview_ids = list(self.crossview_block_layers)
         temporal_ids = list(self.temporal_block_layers)
         heads, head_dim = self.num_attention_heads, self.attention_head_dim
@@ -384,6 +426,24 @@ class DiTCrossviewTemporal(nn.Module):
             return cls(**kw)
 
         for i in range(self.num_layers):
+            if (
+                mask_controller is not None
+                and mask_controller.is_first_decoder_layer(
+                    i, self.num_layers
+                )
+            ):
+                keep = x.shape[1]
+                xg = x.reshape(b, t, v, keep, dim).transpose(0, 2, 1, 3, 4)
+                xg = xg.reshape(b * v, t, keep, dim)
+                temb_g = temb.reshape(b, t, v, -1).transpose(0, 2, 1, 3)
+                temb_g = temb_g.reshape(b * v * t, -1)
+                xg = mask_controller.mask_reconstruction(
+                    xg, mask_metas, None, temb_g
+                )
+                x = xg.reshape(b, v, t, gh * gw, dim)
+                x = x.transpose(0, 2, 1, 3, 4).reshape(n, gh * gw, dim)
+                cur_gw = gw
+
             if residuals:
                 x = x + residuals.pop(0)
 
@@ -422,7 +482,7 @@ class DiTCrossviewTemporal(nn.Module):
                 )
                 x = self._temporal_branch(
                     tb, self._mixer(f"time_mixers_{j}"), x, seq_emb,
-                    (b, t, v, gh, gw, dim), disable_temporal,
+                    (b, t, v, gh, cur_gw, dim), disable_temporal,
                 )
 
             if self.enable_crossview and i in crossview_ids:
@@ -446,7 +506,7 @@ class DiTCrossviewTemporal(nn.Module):
                 )
                 x = self._crossview_branch(
                     cb, self._mixer(f"view_mixers_{j}"), x, view_emb,
-                    (b, t, v, gh, gw, dim), disable_crossview,
+                    (b, t, v, gh, cur_gw, dim), disable_crossview,
                     crossview_attention_mask,
                 )
 

@@ -415,10 +415,39 @@ class CTSDPipeline:
             tx = optax.MultiSteps(tx, every_k_schedule=accum)
         self.tx = tx
         self._jit_cache: dict = {}
+        self.vae = None
+        self.vae_params = None
+        self.metrics: dict = {}
+
+    # -- optional image VAE (pixel-space batches) ---------------------------
+
+    def set_vae(self, vae, params):
+        """Attach an AutoencoderKL so batches may carry ``vae_images``
+        (pixel space, (b,t,v,H,W,3) in [-1,1]) instead of ``latents``
+        (reference encodes in train_step, ctsd.py:1201-1218)."""
+        self.vae = vae
+        self.vae_params = params
+
+    def ensure_latents(self, batch: dict, rng=None) -> dict:
+        if "latents" in batch or self.vae is None:
+            return batch
+        out = dict(batch)
+        out["latents"] = jax.lax.stop_gradient(
+            self.vae.encode_to_scaled(
+                self.vae_params, batch["vae_images"], rng
+            )
+        )
+        return out
+
+    def decode_latents(self, latents):
+        if self.vae is None:
+            return latents
+        return self.vae.decode_from_scaled(self.vae_params, latents)
 
     # -- state ----------------------------------------------------------------
 
     def init_state(self, rng: jax.Array, example_batch: dict) -> TrainState:
+        example_batch = self.ensure_latents(example_batch)
         conds = get_conditions(example_batch, self.common_config)
         latents = example_batch["latents"]
         b, t, v = latents.shape[:3]
@@ -457,6 +486,8 @@ class CTSDPipeline:
     # -- training ---------------------------------------------------------------
 
     def loss_fn(self, params, batch, rng):
+        rng, k_vae = jax.random.split(rng)
+        batch = self.ensure_latents(batch, k_vae)
         latents = batch["latents"]  # (b, t, v, h, w, c)
         b, t, v = latents.shape[:3]
         tc = self.training_config
@@ -692,6 +723,76 @@ class CTSDPipeline:
                 reference_frame_count
             latents = jnp.where(ref_mask, image_latents, latents)
         return latents
+
+    # -- preview & evaluation (reference ctsd.py:1835-2007) -------------------
+
+    def preview_pipeline(self, state, batch, output_path: str, step: int):
+        """Generate from the batch's conditions and write a composited
+        preview (GT | layout | generated), one row each."""
+        import os
+
+        import numpy as np
+
+        from opendwm_tpu.utils.preview import (
+            make_ctsd_preview_tensor,
+            save_tensor_to_video,
+        )
+
+        batch = self.ensure_latents(batch)
+        latents = batch["latents"]
+        rng = jax.random.PRNGKey(int(state.step))
+        gen = self.inference_pipeline(
+            state.params, batch, latents.shape, rng
+        )
+        rows = []
+        gt = self.decode_latents(latents)
+        fake = self.decode_latents(gen)
+
+        def to01(x):
+            x = np.asarray(x, np.float32)
+            lo, hi = x.min(), x.max()
+            return (x - lo) / max(hi - lo, 1e-6)
+
+        b = latents.shape[0]
+        rows = [to01(gt[0])[..., :3], to01(fake[0])[..., :3]]
+        if batch.get("3dbox_images") is not None:
+            img = np.asarray(batch["3dbox_images"][0], np.float32)
+            rows.insert(1, img[..., :3])
+        grid = make_ctsd_preview_tensor(rows)
+        out_dir = os.path.join(output_path, "preview")
+        fps = float(np.asarray(batch.get("fps", [2.0]))[0]) or 2.0
+        return save_tensor_to_video(
+            os.path.join(out_dir, f"{step}.mp4"), fps, grid
+        )
+
+    def evaluate_pipeline(
+        self, state, global_step: int, batches=None, logger=None,
+        metrics: Optional[dict] = None,
+    ):
+        """Generate for each validation batch and update the configured
+        metrics; metric objects follow update(real, fake)/compute()/reset().
+        Feature-space metrics (FID/FVD) receive decoded frames when a VAE is
+        attached, else latents."""
+        metrics = metrics or self.metrics
+        if not metrics or batches is None:
+            return {}
+        for batch in batches:
+            batch = self.ensure_latents(batch)
+            rng = jax.random.PRNGKey(global_step)
+            gen = self.inference_pipeline(
+                state.params, batch, batch["latents"].shape, rng
+            )
+            real = self.decode_latents(batch["latents"])
+            fake = self.decode_latents(gen)
+            for m in metrics.values():
+                m.update(real, fake)
+        results = {}
+        for name, m in metrics.items():
+            results[f"evaluation/{name}"] = m.compute()
+            m.reset()
+        if logger is not None:
+            logger.log(global_step, results)
+        return results
 
     def autoregressive_inference_pipeline(
         self,

@@ -1,0 +1,169 @@
+"""Streaming CTSD: frame-in/frame-out FIFO diffusion for interactive use.
+
+Capability parity with reference ``StreamingCrossviewTemporalSD``
+(src/dwm/pipelines/ctsd.py:2010-2277): a sliding window of latents sits at
+staggered noise levels (diffusion forcing); each incoming frame condition
+triggers ``steps_per_inference`` denoise iterations of the whole queue,
+completing exactly the oldest frame, which pops as output while fresh noise
+joins at the tail. Warmup accumulates a full window of conditions first
+(reference :2163-2191), then the steady-state loop is constant latency
+(:2193-2219).
+
+TPU design: streaming state is an explicit pytree (latents + condition
+queue + counters); `step_stream` is one jitted scan over steps_per_inference
+iterations; queue shifts are jnp.roll + index writes — no host round trips
+inside the loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+
+from opendwm_tpu.config import register
+from opendwm_tpu.pipelines.ctsd import CTSDPipeline, get_conditions
+
+
+@flax.struct.dataclass
+class StreamingState:
+    latents: jax.Array            # (b, T, v, h, w, c)
+    conditions: Any               # pytree with (b, T, v, ...) leaves
+    frames_received: jax.Array    # () int32
+    rng: jax.Array
+
+
+@register(
+    "StreamingCTSDPipeline",
+    aliases=("dwm.pipelines.ctsd.StreamingCrossviewTemporalSD",),
+)
+class StreamingCTSDPipeline(CTSDPipeline):
+    """CTSD base + FIFO streaming protocol.
+
+    Required inference_config: ``inference_steps`` divisible by the window
+    length (reference assert ctsd.py:2037).
+    """
+
+    def steps_per_inference(self, window: int) -> int:
+        n = self.inference_config["inference_steps"]
+        assert n % window == 0, (
+            f"inference_steps {n} must divide by window {window}"
+        )
+        return n // window
+
+    def reset_streaming(
+        self, latent_shape: tuple, cond_template: dict, rng: jax.Array
+    ) -> StreamingState:
+        """Fresh queue: all-noise latents, zeroed condition slots
+        (reference reset_streaming :2012-2035)."""
+        k_noise, k_state = jax.random.split(rng)
+        latents = jax.random.normal(k_noise, latent_shape, jnp.float32)
+        conds = jax.tree.map(jnp.zeros_like, cond_template)
+        return StreamingState(
+            latents=latents,
+            conditions=conds,
+            frames_received=jnp.zeros((), jnp.int32),
+            rng=k_state,
+        )
+
+    def send_frame_condition(
+        self, state: StreamingState, frame_batch: dict
+    ) -> StreamingState:
+        """Push one frame's conditions into the queue (slot = tail).
+
+        frame_batch carries single-frame (b, 1, v, ...) condition tensors
+        with the same keys as the training batch.
+        """
+        frame_conds = get_conditions(frame_batch, self.common_config)
+
+        def push(queue, new):
+            if new is None or not hasattr(queue, "ndim") or queue.ndim < 2:
+                return queue
+            rolled = jnp.roll(queue, -1, axis=1)
+            return rolled.at[:, -1].set(
+                new[:, 0] if new.ndim == queue.ndim else new
+            )
+
+        new_conds = {}
+        for key, q in state.conditions.items():
+            new_conds[key] = push(q, frame_conds.get(key))
+        return state.replace(
+            conditions=new_conds,
+            frames_received=state.frames_received + 1,
+        )
+
+    def step_stream(self, params, state: StreamingState):
+        """Advance the queue by one frame's worth of denoise steps and emit
+        the completed (oldest) frame's latent.
+
+        Returns (new_state, output_latent (b, v, h, w, c), ready: bool array)
+        — ``ready`` is False during warmup (fewer conditions than window).
+        """
+        b, T, v = state.latents.shape[:3]
+        spi = self.steps_per_inference(T)
+        n_steps = self.inference_config["inference_steps"]
+        sched = self.test_scheduler
+        ts_table = jnp.asarray(sched.inference_timesteps(n_steps))
+        guidance = self.inference_config.get("guidance_scale", 1.0)
+        do_cfg = "guidance_scale" in self.inference_config
+
+        conds = dict(state.conditions)
+        if do_cfg:
+            cfg_conds = {}
+            for k, q in conds.items():
+                if hasattr(q, "ndim"):
+                    uncond = jnp.zeros_like(q)
+                    cfg_conds[k] = jnp.concatenate([uncond, q], 0)
+                else:
+                    cfg_conds[k] = q
+            conds = cfg_conds
+        # disable flags sized for the (possibly doubled) batch
+        bb = 2 * b if do_cfg else b
+        conds["disable_crossview"] = jnp.zeros((bb,), bool)
+        conds["disable_temporal"] = jnp.zeros((bb,), bool)
+
+        rng, k_new = jax.random.split(state.rng)
+
+        def body(latents, s):
+            # frame j sits at ladder position (T-1-j)*spi + s
+            pos = (T - 1 - jnp.arange(T)) * spi + s
+            step_indices = jnp.broadcast_to(pos[None, :, None], (b, T, v))
+            timesteps = ts_table[jnp.clip(step_indices, 0, n_steps - 1)]
+            model_input = latents
+            if do_cfg:
+                model_input = jnp.concatenate([model_input, model_input], 0)
+                ts_in = jnp.concatenate([timesteps, timesteps], 0)
+            else:
+                ts_in = timesteps
+            pred = self.model.apply(
+                params, sample=model_input, timestep=ts_in, **conds
+            )
+            if do_cfg:
+                uncond, cond = jnp.split(pred, 2, 0)
+                pred = uncond + guidance * (cond - uncond)
+            latents = sched.step_by_indices(
+                pred, step_indices, latents, n_steps
+            )
+            return latents, ()
+
+        latents, _ = jax.lax.scan(
+            body, state.latents, jnp.arange(spi)
+        )
+        output = latents[:, 0]
+        fresh = jax.random.normal(
+            k_new, (b, 1) + state.latents.shape[2:], state.latents.dtype
+        )
+        latents = jnp.concatenate([latents[:, 1:], fresh], axis=1)
+        ready = state.frames_received >= T
+        return (
+            state.replace(latents=latents, rng=rng),
+            output,
+            ready,
+        )
+
+    def receive_frame(self, params, state: StreamingState):
+        """send_frame_condition → receive_frame cadence of the reference
+        streaming CLI (streaming.py:98-141): one queue step per tick."""
+        return self.step_stream(params, state)

@@ -1,0 +1,88 @@
+"""Streaming CTSD FIFO pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opendwm_tpu.models.mmdit import DiTCrossviewTemporal
+from opendwm_tpu.parallel import MeshSpec, make_mesh
+from opendwm_tpu.pipelines.ctsd_streaming import StreamingCTSDPipeline
+from opendwm_tpu.schedulers import FlowMatchEulerScheduler
+
+B, T, V, H, W, C = 1, 3, 2, 8, 8, 16
+
+
+@pytest.fixture(scope="module")
+def pipe_state():
+    model = DiTCrossviewTemporal(
+        patch_size=2, num_layers=2, attention_head_dim=8,
+        num_attention_heads=4, in_channels=C, out_channels=C,
+        joint_attention_dim=24, caption_projection_dim=32,
+        pooled_projection_dim=16, pos_embed_max_size=16, sample_size=8,
+        dual_attention_layers=(), enable_crossview=True,
+        crossview_attention_type="rowwise", crossview_block_layers=(0,),
+        enable_temporal=True, temporal_attention_type="pointwise",
+        temporal_block_layers=(1,),
+    )
+    pipe = StreamingCTSDPipeline(
+        model=model,
+        train_scheduler=FlowMatchEulerScheduler(shift=3.0),
+        test_scheduler=FlowMatchEulerScheduler(shift=3.0),
+        inference_config={"inference_steps": 6, "guidance_scale": 2.0},
+        mesh=make_mesh(MeshSpec(dp=8, fsdp=1)),
+        sharding_policy="ddp",
+    )
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "latents": jax.random.normal(key, (B, T, V, H, W, C)),
+        "encoder_hidden_states": jax.random.normal(
+            jax.random.fold_in(key, 1), (B, T, V, 4, 24)
+        ),
+        "pooled_projections": jax.random.normal(
+            jax.random.fold_in(key, 2), (B, T, V, 16)
+        ),
+    }
+    state = pipe.init_state(jax.random.PRNGKey(1), batch)
+    return pipe, state, batch
+
+
+def frame_batch(key):
+    return {
+        "latents": jnp.zeros((B, 1, V, H, W, C)),
+        "encoder_hidden_states": jax.random.normal(key, (B, 1, V, 4, 24)),
+        "pooled_projections": jax.random.normal(
+            jax.random.fold_in(key, 1), (B, 1, V, 16)
+        ),
+    }
+
+
+class TestStreaming:
+    def test_fifo_loop(self, pipe_state):
+        pipe, train_state, batch = pipe_state
+        cond_template = {
+            "encoder_hidden_states": batch["encoder_hidden_states"],
+            "pooled_projections": batch["pooled_projections"],
+        }
+        s = pipe.reset_streaming(
+            (B, T, V, H, W, C), cond_template, jax.random.PRNGKey(5)
+        )
+        outputs = []
+        for i in range(5):
+            s = pipe.send_frame_condition(
+                s, frame_batch(jax.random.PRNGKey(100 + i))
+            )
+            s, out, ready = pipe.receive_frame(train_state.params, s)
+            outputs.append((np.asarray(out), bool(ready)))
+        assert outputs[0][1] is False  # warmup: not ready
+        assert outputs[-1][1] is True  # steady state
+        for out, _ in outputs:
+            assert out.shape == (B, V, H, W, C)
+            assert np.isfinite(out).all()
+        # consecutive outputs differ (new frames flow through)
+        assert not np.allclose(outputs[3][0], outputs[4][0])
+
+    def test_steps_divisibility_assert(self, pipe_state):
+        pipe, _, _ = pipe_state
+        with pytest.raises(AssertionError):
+            pipe.steps_per_inference(4)  # 6 % 4 != 0
