@@ -98,20 +98,36 @@ class CombinedZipFileSystem(fsspec.AbstractFileSystem):
                 for name, meta in info.items():
                     self._index[name] = (archive, meta)
             else:
-                with self.fs.open(archive, "rb") as f:
-                    zf = zipfile.ZipFile(f)
-                    for zi in zf.infolist():
-                        if zi.is_dir():
-                            continue
-                        self._index[zi.filename] = (
-                            archive,
-                            {
-                                "header_offset": zi.header_offset,
-                                "compress_type": zi.compress_type,
-                                "compress_size": zi.compress_size,
-                                "file_size": zi.file_size,
-                            },
-                        )
+                self._scan_archive(archive)
+
+    def _scan_archive(self, archive: str):
+        """Index one archive's central directory — through the native
+        scanner (opendwm_tpu.native) when built, else zipfile."""
+        try:
+            from opendwm_tpu import native
+
+            if native.available():
+                data = self.fs.cat_file(archive)
+                for e in native.zip_scan_central_directory(data):
+                    name = e.pop("name")
+                    self._index[name] = (archive, e)
+                return
+        except Exception:
+            pass  # fall back to the pure-Python scan
+        with self.fs.open(archive, "rb") as f:
+            zf = zipfile.ZipFile(f)
+            for zi in zf.infolist():
+                if zi.is_dir():
+                    continue
+                self._index[zi.filename] = (
+                    archive,
+                    {
+                        "header_offset": zi.header_offset,
+                        "compress_type": zi.compress_type,
+                        "compress_size": zi.compress_size,
+                        "file_size": zi.file_size,
+                    },
+                )
 
     def _archive_fp(self, archive: str):
         key = (os.getpid(), archive)  # fork safety: one handle per pid
