@@ -23,8 +23,11 @@ Dtype = jnp.dtype
 
 def _bn(x, dtype, name):
     # The reference uses BatchNorm; GroupNorm is the TPU-friendly stand-in
-    # with identical inference semantics after weight folding.
-    return nn.GroupNorm(min(32, x.shape[-1]), dtype=dtype, name=name)(x)
+    # with identical inference semantics after weight folding. Group count
+    # is the largest divisor of the channel count that is <= 32.
+    c = x.shape[-1]
+    groups = next(g for g in range(min(32, c), 0, -1) if c % g == 0)
+    return nn.GroupNorm(groups, dtype=dtype, name=name)(x)
 
 
 class ASPP(nn.Module):

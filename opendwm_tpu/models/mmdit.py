@@ -287,6 +287,7 @@ class DiTCrossviewTemporal(nn.Module):
         disable_temporal: Optional[jax.Array] = None,
         crossview_attention_mask: Optional[jax.Array] = None,
         mask_rng: Optional[jax.Array] = None,
+        **_unused,
     ) -> jax.Array:
         if sample.ndim == 5:  # single-view input (b, t, h, w, c)
             squeeze_view = True

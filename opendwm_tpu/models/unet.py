@@ -488,6 +488,8 @@ class UNetCrossviewTemporal(nn.Module):
     enable_rowwise_crossview: bool = False
     enable_rowwise_temporal: bool = False
     condition_image_adapter_config: Optional[dict] = None
+    depth_net_config: Optional[dict] = None
+    depth_frustum_range: Optional[Sequence[float]] = None
     gradient_checkpointing: bool = False
     dtype: Any = jnp.float32
 
@@ -502,6 +504,8 @@ class UNetCrossviewTemporal(nn.Module):
         disable_crossview: Optional[jax.Array] = None,
         disable_temporal: Optional[jax.Array] = None,
         crossview_attention_mask: Optional[jax.Array] = None,
+        camera_intrinsics: Optional[jax.Array] = None,
+        camera_transforms: Optional[jax.Array] = None,
         **_unused,
     ) -> jax.Array:
         if sample.ndim == 5:
@@ -560,6 +564,7 @@ class UNetCrossviewTemporal(nn.Module):
         x = nn.Conv(ch0, (3, 3), padding=1, dtype=compute, name="conv_in")(
             sample.reshape((-1,) + sample.shape[3:])
         ).reshape((b, t, v) + sample.shape[3:-1] + (ch0,))
+        depth_inputs = [x]
         if residuals:
             x = x + residuals.pop(0)
 
@@ -593,10 +598,43 @@ class UNetCrossviewTemporal(nn.Module):
                     merge_factor=self.merge_factor, eps=self.norm_eps,
                     dtype=compute, name=f"down_blocks_{i}",
                 )(x, emb, disable_temporal)
+            depth_inputs.append(x)
             if residuals:
                 x = x + residuals.pop(0)
                 states[-1] = x
             down_states += states
+
+        # DepthNet over multi-scale features resized to input resolution
+        # (reference crossview_temporal_unet.py:766-782).
+        depth_features = None
+        if (
+            self.depth_net_config is not None
+            and camera_intrinsics is not None
+            and camera_transforms is not None
+        ):
+            from opendwm_tpu.models.depth_net import DepthNet
+
+            hh, ww = sample.shape[3:5]
+            resized = []
+            for f in depth_inputs:
+                flat = f.reshape((-1,) + f.shape[3:])
+                flat = jax.image.resize(
+                    flat, (flat.shape[0], hh, ww, flat.shape[-1]), "nearest"
+                )
+                resized.append(flat)
+            feats = jnp.concatenate(resized, -1).reshape(
+                (b, t, v, hh, ww, -1)
+            )
+            cam_params = jnp.concatenate(
+                [
+                    camera_intrinsics.reshape(b, t, v, -1),
+                    camera_transforms.reshape(b, t, v, -1),
+                ],
+                -1,
+            )
+            depth_features = DepthNet(
+                **self.depth_net_config, dtype=compute, name="depth_net"
+            )(feats, cam_params)
 
         x = MidBlockCT(
             heads=heads[-1],
@@ -637,4 +675,6 @@ class UNetCrossviewTemporal(nn.Module):
         out = flat.reshape((b, t, v) + flat.shape[1:])
         if squeeze_view:
             out = out[:, :, 0]
+        if depth_features is not None:
+            return out, depth_features
         return out

@@ -226,6 +226,20 @@ def get_conditions(
         conds["camera_intrinsics_norm"] = k
         conds["camera2referego"] = cam2referego
 
+    # ---- camera params for the depth branch (reference ctsd.py:405-414) ----
+    if (
+        "camera_intrinsics" in batch
+        and "camera_transforms" in batch
+        and common_config.get("enable_depth_branch", False)
+    ):
+        ci = batch["camera_intrinsics"]
+        ct = batch["camera_transforms"]
+        if do_classifier_free_guidance:
+            ci = jnp.concatenate([ci, ci], 0)
+            ct = jnp.concatenate([ct, ct], 0)
+        conds["camera_intrinsics"] = ci
+        conds["camera_transforms"] = ct
+
     # ---- crossview/temporal switches ----------------------------------------
     b = next(iter(batch.values())).shape[0]
     bb = 2 * b if do_classifier_free_guidance else b
@@ -556,6 +570,9 @@ class CTSDPipeline:
         pred = self.model.apply(
             {"params": params}, sample=noisy, timestep=timesteps, **conds
         )
+        depth_features = None
+        if isinstance(pred, tuple):
+            pred, depth_features = pred
         if self.model_type == "sd3":
             pred_latent = pred * (-sigmas) + noisy
         else:
@@ -570,7 +587,20 @@ class CTSDPipeline:
             (pred_latent.astype(jnp.float32) - target.astype(jnp.float32))
             ** 2
         )
-        return loss, {"sd_loss": loss}
+        metrics = {"sd_loss": loss}
+        if depth_features is not None and \
+                "depth_frustum_range" in self.common_config:
+            from opendwm_tpu.pipelines.depth_loss import make_depth_loss
+
+            d_loss = make_depth_loss(
+                depth_features, batch,
+                tuple(self.common_config["depth_frustum_range"]),
+                tc.get("depth_loss_coef", 1.0),
+            )
+            metrics["depth_loss"] = d_loss
+            loss = loss + d_loss
+            metrics["loss"] = loss
+        return loss, metrics
 
     def _train_step_impl(self, state: TrainState, batch: dict, rng):
         grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
