@@ -83,7 +83,14 @@ _LAZY_MODULES: dict[str, str] = {
     "dwm.pipelines.lidar_maskgit": "opendwm_tpu.pipelines.lidar_maskgit",
     "dwm.pipelines.lidar_diffusion": "opendwm_tpu.pipelines.lidar_diffusion",
     "dwm.metrics": "opendwm_tpu.metrics",
-    "dwm.datasets": "opendwm_tpu.datasets",
+    "dwm.datasets.common": "opendwm_tpu.datasets.common",
+    "dwm.datasets.nuscenes": "opendwm_tpu.datasets.nuscenes",
+    "dwm.datasets.waymo": "opendwm_tpu.datasets.waymo",
+    "dwm.datasets.argoverse": "opendwm_tpu.datasets.argoverse",
+    "dwm.datasets.kitti360": "opendwm_tpu.datasets.kitti360",
+    "dwm.datasets.opendv": "opendwm_tpu.datasets.opendv",
+    "dwm.datasets.preview": "opendwm_tpu.datasets.preview",
+    "dwm.utils.sampler": "opendwm_tpu.utils.sampler",
     "dwm.fs": "opendwm_tpu.fs",
 }
 
