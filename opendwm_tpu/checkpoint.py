@@ -60,11 +60,11 @@ def latest_step(output_path: str) -> Optional[int]:
     return step
 
 
-def save_model_only(path: str, params: Any) -> None:
+def save_model_only(path: str, params: Any, overwrite: bool = True) -> None:
     """Deployable full parameter snapshot (host numpy, single file tree)."""
     ckptr = ocp.StandardCheckpointer()
     host = jax.tree.map(np.asarray, params)
-    ckptr.save(os.path.abspath(path), host)
+    ckptr.save(os.path.abspath(path), host, force=overwrite)
     ckptr.wait_until_finished()
 
 
