@@ -395,6 +395,67 @@ class MaskGITPipeline:
 
         dec_params = {"params": self.vq_params["params"]["lidar_decoder"]}
         _, pred_logits = self.vq.lidar_decoder.apply(dec_params, x_final)
+        return self._finish_inference(
+            rng, dec_params, pred_logits, code, voxels, idx_final, b, t,
+            task_type,
+        )
+
+    def evaluate_pipeline(
+        self,
+        params,
+        batches,
+        rng: jax.Array,
+        global_step: int = 0,
+        metrics: Optional[dict] = None,
+        logger=None,
+        task_type: str = "generation",
+        num_reference_frame: int = 3,
+    ) -> dict:
+        """Generate per validation batch and compute voxel IoU/diff +
+        Chamfer over occupied-voxel centers (reference evaluate_pipeline
+        :1157-1198)."""
+        from opendwm_tpu.metrics import (
+            PointCloudChamfer,
+            VoxelDiff,
+            VoxelIoU,
+        )
+        from opendwm_tpu.ops.voxelize import voxels_to_points
+
+        metrics = metrics or {
+            "voxel_iou": VoxelIoU(),
+            "voxel_diff": VoxelDiff(),
+            "chamfer": PointCloudChamfer(),
+        }
+        for i, batch in enumerate(batches):
+            out = self.inference_pipeline(
+                params, batch, jax.random.fold_in(rng, i),
+                task_type=task_type,
+                num_reference_frame=num_reference_frame,
+            )
+            gt, pred = out["gt_voxels"], out["pred_voxels"]
+            for name, m in metrics.items():
+                if name.startswith("voxel"):
+                    m.update(gt > 0.5, pred > 0.5)
+                elif name.startswith("chamfer"):
+                    vox = self.vq.voxelizer
+                    b, t = gt.shape[:2]
+                    for bi in range(b):
+                        for ti in range(t):
+                            gp, gm = voxels_to_points(gt[bi, ti], vox)
+                            pp, pm = voxels_to_points(pred[bi, ti], vox)
+                            m.update(pp, gp, pm, gm)
+        results = {}
+        for name, m in metrics.items():
+            results[f"evaluation/{name}"] = m.compute()
+            m.reset()
+        if logger is not None:
+            logger.log(global_step, results)
+        return results
+
+    def _finish_inference(
+        self, rng, dec_params, pred_logits, code, voxels, idx_final, b, t,
+        task_type,
+    ):
         _, vq_logits = self.vq.lidar_decoder.apply(dec_params, code)
         k1, k2 = jax.random.split(jax.random.fold_in(rng, 99))
         pred_vox = gumbel_sigmoid(k1, pred_logits)
