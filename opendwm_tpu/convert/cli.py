@@ -38,6 +38,7 @@ def sd21_to_svd_keys(sd: dict) -> dict:
 
 CONVERTERS = {
     "ctsd_dit": lambda sd, args: ti.convert_ctsd_dit(sd, args.num_layers),
+    "ctsd_unet": lambda sd, args: ti.convert_ctsd_unet(sd),
     "vae": lambda sd, args: ti.convert_autoencoder_kl(sd),
     "clip": lambda sd, args: ti.convert_clip_text(sd),
     "t5": lambda sd, args: ti.convert_t5_encoder(sd),

@@ -395,3 +395,164 @@ def convert_fid_inception(sd: Mapping[str, np.ndarray]) -> dict:
         conv(sd, params, f"{unit}.conv", f"{dst}/conv")
         _batch_norm(sd, params, stats, f"{unit}.bn", f"{dst}/bn")
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Crossview-temporal UNet (diffusers SVD skeleton + OpenDWM additions)
+# ---------------------------------------------------------------------------
+
+def _ct_resblock(sd, tree, src, dst):
+    """reference crossview_temporal.ResBlock → CTResBlock."""
+    for part in ("spatial_res_block",):
+        base = f"{src}.{part}"
+        group_norm(sd, tree, f"{base}.norm1", f"{dst}/{part}/norm1")
+        group_norm(sd, tree, f"{base}.norm2", f"{dst}/{part}/norm2")
+        conv(sd, tree, f"{base}.conv1", f"{dst}/{part}/conv1")
+        conv(sd, tree, f"{base}.conv2", f"{dst}/{part}/conv2")
+        if f"{base}.time_emb_proj.weight" in sd:
+            linear(sd, tree, f"{base}.time_emb_proj",
+                   f"{dst}/{part}/time_emb_proj")
+        if f"{base}.conv_shortcut.weight" in sd:
+            conv(sd, tree, f"{base}.conv_shortcut",
+                 f"{dst}/{part}/conv_shortcut")
+    base = f"{src}.temporal_res_block"
+    if f"{base}.norm1.weight" in sd:
+        part = "temporal_res_block"
+        group_norm(sd, tree, f"{base}.norm1", f"{dst}/{part}/norm1")
+        group_norm(sd, tree, f"{base}.norm2", f"{dst}/{part}/norm2")
+        conv3d(sd, tree, f"{base}.conv1", f"{dst}/{part}/conv1")
+        conv3d(sd, tree, f"{base}.conv2", f"{dst}/{part}/conv2")
+        if f"{base}.time_emb_proj.weight" in sd:
+            linear(sd, tree, f"{base}.time_emb_proj",
+                   f"{dst}/{part}/time_emb_proj")
+        _set(tree, f"{dst}/time_mixer/mix_factor",
+             sd[f"{src}.time_mixer.mix_factor"])
+
+
+def _basic_block(sd, tree, src, dst, cross=True):
+    """diffusers BasicTransformerBlock → BasicTransformerBlock."""
+    layer_norm(sd, tree, f"{src}.norm1", f"{dst}/norm1")
+    for p in ("to_q", "to_k", "to_v"):
+        linear(sd, tree, f"{src}.attn1.{p}", f"{dst}/attn1/{p}")
+    linear(sd, tree, f"{src}.attn1.to_out.0", f"{dst}/attn1/to_out")
+    if cross and f"{src}.attn2.to_q.weight" in sd:
+        layer_norm(sd, tree, f"{src}.norm2", f"{dst}/norm2")
+        for p in ("to_q", "to_k", "to_v"):
+            linear(sd, tree, f"{src}.attn2.{p}", f"{dst}/attn2/{p}")
+        linear(sd, tree, f"{src}.attn2.to_out.0", f"{dst}/attn2/to_out")
+    layer_norm(sd, tree, f"{src}.norm3", f"{dst}/norm3")
+    linear(sd, tree, f"{src}.ff.net.0.proj", f"{dst}/ff/proj_in")
+    linear(sd, tree, f"{src}.ff.net.2", f"{dst}/ff/proj_out")
+
+
+def _vt_temporal_block(sd, tree, src, dst):
+    """reference TemporalBasicTransformerBlock → TemporalBasicTransformerBlock."""
+    layer_norm(sd, tree, f"{src}.norm_in", f"{dst}/norm_in")
+    linear(sd, tree, f"{src}.ff_in.net.0.proj", f"{dst}/ff_in/proj_in")
+    linear(sd, tree, f"{src}.ff_in.net.2", f"{dst}/ff_in/proj_out")
+    layer_norm(sd, tree, f"{src}.norm1", f"{dst}/norm1")
+    for p in ("to_q", "to_k", "to_v"):
+        linear(sd, tree, f"{src}.attn1.{p}", f"{dst}/attn1/{p}")
+    linear(sd, tree, f"{src}.attn1.to_out.0", f"{dst}/attn1/to_out")
+    if f"{src}.attn2.to_q.weight" in sd:
+        layer_norm(sd, tree, f"{src}.norm2", f"{dst}/norm2")
+        for p in ("to_q", "to_k", "to_v"):
+            linear(sd, tree, f"{src}.attn2.{p}", f"{dst}/attn2/{p}")
+        linear(sd, tree, f"{src}.attn2.to_out.0", f"{dst}/attn2/to_out")
+    layer_norm(sd, tree, f"{src}.norm3", f"{dst}/norm3")
+    linear(sd, tree, f"{src}.ff.net.0.proj", f"{dst}/ff/proj_in")
+    linear(sd, tree, f"{src}.ff.net.2", f"{dst}/ff/proj_out")
+
+
+def _transformer_model(sd, tree, src, dst):
+    """reference crossview_temporal.TransformerModel → TransformerModel."""
+    group_norm(sd, tree, f"{src}.norm", f"{dst}/norm")
+    linear(sd, tree, f"{src}.proj_in", f"{dst}/proj_in")
+    linear(sd, tree, f"{src}.proj_out", f"{dst}/proj_out")
+    k = 0
+    while f"{src}.transformer_blocks.{k}.norm1.weight" in sd:
+        _basic_block(sd, tree, f"{src}.transformer_blocks.{k}",
+                     f"{dst}/transformer_blocks_{k}")
+        k += 1
+    for kind, prefix, embed in (
+        ("crossview_transformer_blocks", "crossview_transformer_blocks",
+         "view_pos_embed"),
+        ("temporal_transformer_blocks", "temporal_transformer_blocks",
+         "time_pos_embed"),
+    ):
+        k = 0
+        while f"{src}.{kind}.{k}.norm_in.weight" in sd:
+            _vt_temporal_block(sd, tree, f"{src}.{kind}.{k}",
+                               f"{dst}/{prefix}_{k}")
+            k += 1
+        if f"{src}.{embed}.linear_1.weight" in sd:
+            linear(sd, tree, f"{src}.{embed}.linear_1",
+                   f"{dst}/{embed}/linear_1")
+            linear(sd, tree, f"{src}.{embed}.linear_2",
+                   f"{dst}/{embed}/linear_2")
+    for mixer in ("view_mixer", "time_mixer"):
+        if f"{src}.{mixer}.mix_factor" in sd:
+            _set(tree, f"{dst}/{mixer}/mix_factor",
+                 sd[f"{src}.{mixer}.mix_factor"])
+
+
+def convert_ctsd_unet(sd: Mapping[str, np.ndarray]) -> dict:
+    """Convert the reference UNetCrossviewTemporalConditionModel state dict
+    (apply convert.cli.sd21_to_svd_keys first for SD2.1-era dicts)."""
+    tree: dict = {}
+    conv(sd, tree, "conv_in", "conv_in")
+    linear(sd, tree, "time_embedding.linear_1", "time_embedding/linear_1")
+    linear(sd, tree, "time_embedding.linear_2", "time_embedding/linear_2")
+    if "add_embedding.linear_1.weight" in sd:
+        linear(sd, tree, "add_embedding.linear_1", "add_embedding/linear_1")
+        linear(sd, tree, "add_embedding.linear_2", "add_embedding/linear_2")
+
+    for group in ("down_blocks", "up_blocks"):
+        i = 0
+        while any(k.startswith(f"{group}.{i}.") for k in sd):
+            src = f"{group}.{i}"
+            dst = f"{group}_{i}"
+            j = 0
+            while f"{src}.resnets.{j}.spatial_res_block.norm1.weight" in sd:
+                _ct_resblock(sd, tree, f"{src}.resnets.{j}",
+                             f"{dst}/resnets_{j}")
+                j += 1
+            j = 0
+            while f"{src}.attentions.{j}.proj_in.weight" in sd:
+                _transformer_model(sd, tree, f"{src}.attentions.{j}",
+                                   f"{dst}/attentions_{j}")
+                j += 1
+            if f"{src}.downsamplers.0.conv.weight" in sd:
+                conv(sd, tree, f"{src}.downsamplers.0.conv",
+                     f"{dst}/downsample")
+            if f"{src}.upsamplers.0.conv.weight" in sd:
+                conv(sd, tree, f"{src}.upsamplers.0.conv", f"{dst}/upsample")
+            i += 1
+
+    for j in (0, 1):
+        _ct_resblock(sd, tree, f"mid_block.resnets.{j}",
+                     f"mid_block/resnets_{j}")
+    if "mid_block.attentions.0.proj_in.weight" in sd:
+        _transformer_model(sd, tree, "mid_block.attentions.0",
+                           "mid_block/attentions_0")
+
+    group_norm(sd, tree, "conv_norm_out", "conv_norm_out")
+    conv(sd, tree, "conv_out", "conv_out")
+
+    if "condition_image_adapter.body.0.resnets.0.block1.weight" in sd:
+        i = 0
+        while f"condition_image_adapter.body.{i}.resnets.0.block1.weight" \
+                in sd:
+            src = f"condition_image_adapter.body.{i}"
+            dst = f"condition_image_adapter/body_{i}"
+            if f"{src}.in_conv.weight" in sd:
+                conv(sd, tree, f"{src}.in_conv", f"{dst}/in_conv")
+            j = 0
+            while f"{src}.resnets.{j}.block1.weight" in sd:
+                conv(sd, tree, f"{src}.resnets.{j}.block1",
+                     f"{dst}/resnets_{j}/block1")
+                conv(sd, tree, f"{src}.resnets.{j}.block2",
+                     f"{dst}/resnets_{j}/block2")
+                j += 1
+            i += 1
+    return {"params": tree}

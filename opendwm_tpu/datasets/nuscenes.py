@@ -96,6 +96,24 @@ DEFAULT_BEV_CORNER_TEMPLATE = [
 DEFAULT_BEV_EDGE_INDICES = [(0, 2), (2, 3), (3, 1), (1, 0)]
 
 
+def _convex_hull(points: list) -> list:
+    """Andrew's monotone chain; points pre-sorted by x then y."""
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in points:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(points):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
 @register("NuScenesDataset", aliases=("dwm.datasets.nuscenes.MotionDataset",))
 class MotionDataset:
     """See module docstring. Args follow the reference signature."""
@@ -117,6 +135,7 @@ class MotionDataset:
         hdmap_image_settings: Optional[dict] = None,
         _3dbox_bev_settings: Optional[dict] = None,
         hdmap_bev_settings: Optional[dict] = None,
+        foreground_region_image_settings: Optional[dict] = None,
         image_description_settings: Optional[dict] = None,
         stub_key_data_dict: Optional[dict] = None,
         max_point_count: int = 32768,
@@ -132,6 +151,9 @@ class MotionDataset:
         self.hdmap_image_settings = hdmap_image_settings
         self._3dbox_bev_settings = _3dbox_bev_settings
         self.hdmap_bev_settings = hdmap_bev_settings
+        self.foreground_region_image_settings = (
+            foreground_region_image_settings
+        )
         self.image_description_settings = image_description_settings
         self.stub_key_data_dict = stub_key_data_dict
         self.max_point_count = max_point_count
@@ -433,6 +455,39 @@ class MotionDataset:
         loc = log["location"]
         return self.map_expansion.get(loc), self.map_expansion_dict.get(loc)
 
+    def get_foreground_region_image(self, sample_data: dict, settings: dict):
+        """Filled projected-box mask marking foreground regions
+        (reference :570-620): annotated objects render as solid white convex
+        hulls on black."""
+        corners_t = np.asarray(
+            settings.get("corner_templates", DEFAULT_CORNER_TEMPLATE)
+        ).T
+        image = Image.new(
+            "L", (sample_data["width"], sample_data["height"])
+        )
+        if not sample_data["is_key_frame"]:
+            return image
+        draw = ImageDraw.Draw(image)
+        image_from_world = self._image_from_world(sample_data)
+        for sa in self.query_range(
+            "sample_annotation", sample_data["sample_token"],
+            column="sample_token",
+        ):
+            scale = np.diag([sa["size"][1], sa["size"][0], sa["size"][2], 1])
+            world_from_ann = get_transform(sa["rotation"], sa["translation"])
+            p = image_from_world @ world_from_ann @ scale @ corners_t
+            if (p[2] <= 0.05).all():
+                continue
+            pts = []
+            for i in range(p.shape[1]):
+                if p[2, i] > 0.05:
+                    pts.append((p[0, i] / p[2, i], p[1, i] / p[2, i]))
+            if len(pts) >= 3:
+                # convex hull of the projected corners
+                pts = sorted(pts)
+                draw.polygon(_convex_hull(pts), fill=255)
+        return image
+
     def get_hdmap_image(self, sample_data: dict, settings: dict):
         max_distance = settings.get("max_distance", 65.0)
         pen_width = settings.get("pen_width", 8)
@@ -648,6 +703,16 @@ class MotionDataset:
             result["hdmap_images"] = [
                 [
                     self.get_hdmap_image(frame[i], self.hdmap_image_settings)
+                    for i in cam_idx
+                ]
+                for frame in frames
+            ]
+        if self.foreground_region_image_settings is not None:
+            result["foreground_region_images"] = [
+                [
+                    self.get_foreground_region_image(
+                        frame[i], self.foreground_region_image_settings
+                    )
                     for i in cam_idx
                 ]
                 for frame in frames

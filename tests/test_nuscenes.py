@@ -184,3 +184,20 @@ class TestNuScenes:
         item = ds[0]
         # timestamps 1 s apart (pts are in ms)
         assert abs((item["pts"][1, 0] - item["pts"][0, 0]) - 1000) < 1
+
+
+class TestForegroundRegion:
+    def test_mask_nonempty(self, dataset_root):
+        import fsspec
+
+        fs = fsspec.filesystem("dir", path=str(dataset_root))
+        ds = MotionDataset(
+            fs, "v1.0-mini", sequence_length=1,
+            fps_stride_tuples=[(0, 1)], sensor_channels=["CAM_FRONT"],
+            foreground_region_image_settings={},
+        )
+        item = ds[0]
+        mask = np.asarray(item["foreground_region_images"][0][0])
+        assert mask.shape == (48, 64)
+        assert (mask == 255).sum() > 0  # the car fills a region
+        assert (mask == 0).sum() > 0
