@@ -124,6 +124,7 @@ _CORE_MODULES = (
     "opendwm_tpu.models.maskgit",
     "opendwm_tpu.models.depth_net",
     "opendwm_tpu.pipelines.ctsd",
+    "opendwm_tpu.pipelines.ctsd_streaming",
     "opendwm_tpu.pipelines.unimlvg",
     "opendwm_tpu.pipelines.lidar_vqvae",
     "opendwm_tpu.pipelines.lidar_vae",

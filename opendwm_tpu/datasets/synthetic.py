@@ -103,3 +103,39 @@ class SyntheticLidarDataset:
                 0, 1, (self.t, self.bev_size, self.bev_size, 3)
             ).astype(np.float32),
         }
+
+
+@register("SyntheticStreamingAdapter")
+class SyntheticStreamingAdapter:
+    """Live-source stand-in for the streaming CLI: each query_data() tick
+    emits a single-frame canonical batch with pre-encoded conditions (the
+    Carla adapter's contract, minus the simulator)."""
+
+    def __init__(
+        self,
+        view_count: int = 2,
+        text_length: int = 4,
+        text_dim: int = 24,
+        pooled_dim: int = 16,
+        seed: int = 0,
+    ):
+        self.v = view_count
+        self.text_length, self.text_dim = text_length, text_dim
+        self.pooled_dim = pooled_dim
+        self.tick = 0
+        self.seed = seed
+        self.sensor_channels = [f"CAM_{i}" for i in range(view_count)]
+
+    def query_data(self) -> dict:
+        rng = np.random.default_rng(self.seed + self.tick)
+        self.tick += 1
+        return {
+            "fps": np.float32(10.0),
+            "pts": np.zeros((1, 1, self.v), np.float32),
+            "encoder_hidden_states": rng.standard_normal(
+                (1, 1, self.v, self.text_length, self.text_dim)
+            ).astype(np.float32),
+            "pooled_projections": rng.standard_normal(
+                (1, 1, self.v, self.pooled_dim)
+            ).astype(np.float32),
+        }

@@ -62,17 +62,26 @@ def main(args=None):
     rng = jax.random.PRNGKey(config.get("generator_seed", 0))
     rng, k_state = jax.random.split(rng)
 
+    import jax.numpy as jnp
+
     first = to_device_batch(adapter.query_data(), pipeline.mesh)
-    state = pipeline.init_state(rng, dict(first, latents=jax.numpy.zeros(
-        latent_shape
-    )))
+    window = latent_shape[1]
+
+    def tile_window(x):
+        # single-frame (b, 1, v, ...) conditions → full-window templates
+        if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[1] == 1:
+            return jnp.concatenate([x] * window, axis=1)
+        return x
+
     cond_template = {
-        k: v for k, v in first.items()
+        k: tile_window(v) for k, v in first.items()
         if k in ("encoder_hidden_states", "pooled_projections",
                  "condition_image_tensor")
-    } or {"pooled_projections": jax.numpy.zeros(
-        (latent_shape[0], latent_shape[1], latent_shape[2], 16)
+    } or {"pooled_projections": jnp.zeros(
+        (latent_shape[0], window, latent_shape[2], 16)
     )}
+    init_batch = dict(cond_template, latents=jnp.zeros(latent_shape))
+    state = pipeline.init_state(rng, init_batch)
     stream = pipeline.reset_streaming(latent_shape, cond_template, k_state)
 
     writer = None
@@ -92,6 +101,9 @@ def main(args=None):
         if not bool(ready):
             continue
         frame = np.asarray(pipeline.decode_latents(latent))
+        if frame.shape[-1] != 3:
+            # no VAE attached: visualize the first 3 latent channels
+            frame = frame[..., :3]
         frame = np.clip((frame + 1) / 2, 0, 1)
         image = merge_multiview_images(frame[0])
         if have_av:
