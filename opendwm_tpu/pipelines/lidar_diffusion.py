@@ -72,7 +72,7 @@ class LidarDiffusionPipeline(CTSDPipeline):
         self.pooled_dim = cc.get("pooled_text_embeddings_dim", 2048)
 
     def load_autoencoder_params(self, params):
-        self.autoencoder_params = params
+        self.autoencoder_params = jax.tree.map(jnp.asarray, params)
 
     # -- latent adapters (reference :446-476) --------------------------------
 

@@ -153,7 +153,9 @@ class MaskGITPipeline:
     # -- setup -----------------------------------------------------------------
 
     def load_vq_params(self, vq_params):
-        self.vq_params = vq_params
+        # device arrays: restored orbax trees are host numpy, which cannot
+        # be indexed by tracers inside the jitted train step
+        self.vq_params = jax.tree.map(jnp.asarray, vq_params)
 
     def tokenize(self, points, points_mask):
         """Frozen VQ tokenize: returns (code (N,L,D), indices (N,L))."""

@@ -123,6 +123,35 @@ def main(args=None):
 
     pipeline = create_instance_from_config(config["pipeline"])
 
+    # Frozen-stage checkpoints (reference chains stages via config paths,
+    # README.md:169 of the reference).
+    if config.get("vq_checkpoint_path") and hasattr(
+        pipeline, "load_vq_params"
+    ):
+        from opendwm_tpu import checkpoint as ckpt_lib
+
+        pipeline.load_vq_params(
+            ckpt_lib.load_model_only(config["vq_checkpoint_path"])
+        )
+    if config.get("autoencoder_checkpoint_path") and hasattr(
+        pipeline, "load_autoencoder_params"
+    ):
+        from opendwm_tpu import checkpoint as ckpt_lib
+
+        pipeline.load_autoencoder_params(
+            ckpt_lib.load_model_only(config["autoencoder_checkpoint_path"])
+        )
+    if config.get("blank_code_path") and hasattr(pipeline, "blank_code"):
+        with open(config["blank_code_path"]) as f:
+            pipeline.blank_code = tuple(json.load(f)["blank_code"])
+    if config.get("vae_checkpoint_path") and hasattr(pipeline, "set_vae"):
+        from opendwm_tpu import checkpoint as ckpt_lib
+
+        vae = create_instance_from_config(config["vae"])
+        pipeline.set_vae(
+            vae, ckpt_lib.load_model_only(config["vae_checkpoint_path"])
+        )
+
     dataset = create_instance_from_config(config["training_dataset"])
     collate = create_instance_from_config(
         config.get("training_collate_fn", {})
