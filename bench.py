@@ -14,7 +14,9 @@ A100 measurement of the reference lands.
 """
 
 import json
+import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +40,7 @@ def flops_per_frame(cfg: dict, tokens_per_view: int, views: int, ctx: int):
     return (linear + attn) * 1.2 * 2  # *2: dual-ish extras, rough
 
 
-def main():
+def main(train: bool = False):
     dev = jax.devices()[0]
     platform = dev.platform
 
@@ -48,8 +50,11 @@ def main():
     # geometry (256x448 images → 32x56 latents), 6 views. Depth reduced on
     # non-TPU hosts only to keep CI fast.
     full = platform == "tpu"
+    # Train mode: fwd+bwd+adamw needs params + grads + 2 moments resident,
+    # so depth drops to fit the 16 GB chip; width/shape stay flagship.
+    layers = (4 if train else 24) if full else 2
     cfg = dict(
-        layers=24 if full else 2,
+        layers=layers,
         heads=24 if full else 4,
         head_dim=64 if full else 8,
     )
@@ -65,17 +70,27 @@ def main():
         pooled_projection_dim=2048 if full else 16,
         pos_embed_max_size=384 if full else 16, sample_size=128 if full else 8,
         qk_norm="rms_norm",
-        dual_attention_layers=tuple(range(13)) if full else (),
-        enable_crossview=True, crossview_attention_type="rowwise",
-        crossview_block_layers=(1, 5, 9, 13, 17, 21) if full else (0,),
-        enable_temporal=True, temporal_attention_type="pointwise",
-        temporal_block_layers=(
-            (2, 3, 6, 7, 10, 11, 14, 15, 18, 19, 22, 23) if full else (1,)
+        dual_attention_layers=(
+            tuple(range(13 * layers // 24)) if full else ()
         ),
+        enable_crossview=True, crossview_attention_type="rowwise",
+        crossview_block_layers=tuple(
+            i for i in (1, 5, 9, 13, 17, 21) if i < layers
+        ) if full else (0,),
+        enable_temporal=True, temporal_attention_type="pointwise",
+        temporal_block_layers=tuple(
+            i for i in (2, 3, 6, 7, 10, 11, 14, 15, 18, 19, 22, 23)
+            if i < layers
+        ) if full else (1,),
         qk_norm_on_additional_modules="rms_norm",
         perspective_modeling_type="implicit",
         projection_class_embeddings_input_dim=2816,
         dtype=jnp.bfloat16,
+        # train mode holds params + grads + 2 adam moments; remat the
+        # blocks so activations fit alongside them.
+        gradient_checkpointing=train,
+        crossview_gradient_checkpointing=train,
+        temporal_gradient_checkpointing=train,
     )
 
     key = jax.random.PRNGKey(0)
@@ -110,36 +125,92 @@ def main():
     )
     n_params = sum(p.size for p in jax.tree.leaves(params))
 
-    fwd = jax.jit(lambda p, kw: model.apply(p, **kw))
-    # Exact FLOP count from XLA's cost model (for an honest MFU figure).
-    try:
-        cost = fwd.lower(params, inputs).compile().cost_analysis()
-        xla_flops = float(cost.get("flops", 0.0))
-    except Exception:
-        xla_flops = 0.0
-    # Warmup with a value readback: on remote-tunnel devices
-    # block_until_ready alone can return before async errors surface.
-    float(fwd(params, inputs).astype(jnp.float32).mean())
+    if train:
+        import optax
 
-    iters = 10 if full else 3
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, inputs)
-    float(out.astype(jnp.float32).mean())  # hard sync
-    dt = (time.perf_counter() - start) / iters
+        from opendwm_tpu.parallel.flat_optim import flat_adamw
+
+        # fused flat AdamW: optax.adamw's per-leaf chain measured ~160x
+        # slower on this chip (see parallel/flat_optim.py). bf16 moments
+        # keep the optimizer state within the 16 GB chip for this bench.
+        tx = flat_adamw(1e-4, weight_decay=0.01, mu_dtype=jnp.bfloat16)
+        opt_state = tx.init(params)
+        target = inputs["sample"]
+
+        def loss_fn(p, kw):
+            pred = model.apply(p, **kw)
+            return jnp.mean(
+                (pred.astype(jnp.float32) - target.astype(jnp.float32))
+                ** 2
+            )
+
+        # NOTE: grad and update run as two programs, undonated — on the
+        # axon tunnel backend both donation and the fused grad+update
+        # program measured 2-30x slower per step than this split.
+        gradf = jax.jit(jax.value_and_grad(loss_fn))
+
+        @jax.jit
+        def apply(p, o, grads):
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o
+
+        try:
+            cost = gradf.lower(params, inputs).compile().cost_analysis()
+            xla_flops = float(cost.get("flops", 0.0))
+        except Exception:
+            xla_flops = 0.0
+        loss, grads = gradf(params, inputs)
+        params, opt_state = apply(params, opt_state, grads)
+        float(loss)  # readback: surface async errors (axon tunnel)
+
+        iters = 5 if full else 2
+        start = time.perf_counter()
+        for _ in range(iters):
+            loss, grads = gradf(params, inputs)
+            params, opt_state = apply(params, opt_state, grads)
+        float(loss)
+        jax.block_until_ready(params)
+        dt = (time.perf_counter() - start) / iters
+    else:
+        fwd = jax.jit(lambda p, kw: model.apply(p, **kw))
+        # Exact FLOP count from XLA's cost model (honest MFU figure).
+        try:
+            cost = fwd.lower(params, inputs).compile().cost_analysis()
+            xla_flops = float(cost.get("flops", 0.0))
+        except Exception:
+            xla_flops = 0.0
+        # Warmup with a value readback: on remote-tunnel devices
+        # block_until_ready alone can return before async errors surface.
+        float(fwd(params, inputs).astype(jnp.float32).mean())
+
+        iters = 10 if full else 3
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(params, inputs)
+        float(out.astype(jnp.float32).mean())  # hard sync
+        dt = (time.perf_counter() - start) / iters
 
     frames_per_sec = t / dt  # one denoiser step over t frames (6 views each)
 
     fl = flops_per_frame(cfg, (h // 2) * (w // 2), v, ctx_len)
+    if train:
+        fl = fl * 3  # fwd + bwd ≈ 3× forward FLOPs
     a100_fps = (312e12 * 0.40) / fl  # analytic A100 bf16 est. at 40% MFU
-    unit = f"frames/s ({platform}, 6-view eq, {n_params/1e6:.0f}M params"
+    mode = "train-step" if train else "fwd"
+    unit = (
+        f"frames/s ({platform}, {mode}, 6-view eq, "
+        f"{n_params/1e6:.0f}M params"
+    )
     if xla_flops > 0 and platform == "tpu":
         v5e_peak = 197e12  # bf16
         mfu = (xla_flops / dt) / v5e_peak
         unit += f", MFU {mfu:.2f} of v5e bf16 peak by XLA flop count"
     unit += ")"
     result = {
-        "metric": "ctsd35_denoiser_frames_per_sec_per_chip",
+        "metric": (
+            "ctsd35_trainstep_frames_per_sec_per_chip" if train
+            else "ctsd35_denoiser_frames_per_sec_per_chip"
+        ),
         "value": round(frames_per_sec, 3),
         "unit": unit,
         "vs_baseline": round(frames_per_sec / a100_fps, 3),
@@ -148,4 +219,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(train="--train" in sys.argv)

@@ -76,6 +76,7 @@ _LAZY_MODULES: dict[str, str] = {
     "dwm.models.voxelizer": "opendwm_tpu.ops.voxelize",
     "dwm.schedulers.temporal_independent": "opendwm_tpu.schedulers",
     "diffusers": "opendwm_tpu.schedulers",
+    "torch.optim.lr_scheduler": "opendwm_tpu.pipelines.optim",
     "dwm.pipelines.ctsd": "opendwm_tpu.pipelines.ctsd",
     "dwm.pipelines.unimlvg": "opendwm_tpu.pipelines.unimlvg",
     "dwm.pipelines.lidar_vqvae": "opendwm_tpu.pipelines.lidar_vqvae",
@@ -133,6 +134,10 @@ _CORE_MODULES = (
     "opendwm_tpu.datasets.common",
     "opendwm_tpu.datasets.synthetic",
     "opendwm_tpu.datasets.nuscenes",
+    "opendwm_tpu.fs.dirfs",
+    "opendwm_tpu.fs.czip",
+    "opendwm_tpu.fs.ctar",
+    "opendwm_tpu.fs.s3fs",
     "opendwm_tpu.metrics",
     "opendwm_tpu.utils.sampler",
     "opendwm_tpu.parallel",

@@ -105,6 +105,8 @@ class MotionDataset:
         enable_ego_transforms: bool = False,
         _3dbox_image_settings: Optional[dict] = None,
         hdmap_image_settings: Optional[dict] = None,
+        _3dbox_bev_settings: Optional[dict] = None,
+        hdmap_bev_settings: Optional[dict] = None,
         stub_key_data_dict: Optional[dict] = None,
         max_point_count: int = 32768,
     ):
@@ -118,6 +120,8 @@ class MotionDataset:
         self.enable_ego_transforms = enable_ego_transforms
         self._3dbox_image_settings = _3dbox_image_settings
         self.hdmap_image_settings = hdmap_image_settings
+        self._3dbox_bev_settings = _3dbox_bev_settings
+        self.hdmap_bev_settings = hdmap_bev_settings
         self.stub_key_data_dict = stub_key_data_dict
         self.max_point_count = max_point_count
 
@@ -369,6 +373,88 @@ class MotionDataset:
                 )
         return image
 
+    # -- BEV rasters (reference :374-507) -------------------------------------
+
+    DEFAULT_BEV_FROM_EGO = [
+        [6.4, 0, 0, 320], [0, -6.4, 0, 320], [0, 0, -6.4, 0], [0, 0, 0, 1],
+    ]
+
+    def get_3dbox_bev_image(self, item, timestamp, annotations, settings):
+        size = settings.get("image_size", [640, 640])
+        pen_width = settings.get("pen_width", 2)
+        color_table = settings.get("color_table", DEFAULT_3DBOX_COLOR_TABLE)
+        fill = settings.get("fill_box", False)
+        bev_from_ego = np.asarray(
+            settings.get("bev_from_ego_transform", self.DEFAULT_BEV_FROM_EGO)
+        )
+        image = Image.new("RGB", tuple(size))
+        if annotations is None:
+            return image
+        draw = ImageDraw.Draw(image)
+        ts = np.asarray(annotations["timestamp_ns"])
+        for i in np.nonzero(ts == timestamp)[0]:
+            cat = annotations["category"][i]
+            if cat not in color_table:
+                continue
+            scale = np.diag([
+                annotations["length_m"][i], annotations["width_m"][i],
+                annotations["height_m"][i], 1.0,
+            ])
+            ego_from_ann = get_transform(
+                [annotations[k][i] for k in ROT_KEYS],
+                [annotations[k][i] for k in TRANS_KEYS],
+            )
+            p = bev_from_ego @ ego_from_ann @ scale @ CORNERS
+            pts = [(p[0, j], p[1, j]) for j in (0, 1, 3, 2)]
+            color = tuple(color_table[cat])
+            if fill:
+                draw.polygon(pts, fill=color)
+            else:
+                draw.polygon(pts, outline=color, width=pen_width)
+        return image
+
+    def get_hdmap_bev_image(self, item, timestamp, poses, settings):
+        size = settings.get("image_size", [640, 640])
+        pen_width = settings.get("pen_width", 2)
+        color_table = settings.get("color_table", DEFAULT_HDMAP_COLOR_TABLE)
+        bev_from_ego = np.asarray(
+            settings.get("bev_from_ego_transform", self.DEFAULT_BEV_FROM_EGO)
+        )
+        image = Image.new("RGB", tuple(size))
+        map_path = self.maps.get(item["scene"])
+        if map_path is None:
+            return image
+        with self.fs.open(map_path) as f:
+            city_map = json.load(f)
+        draw = ImageDraw.Draw(image)
+        view = bev_from_ego @ np.linalg.inv(self._pose_at(poses, timestamp))
+
+        def draw_polyline(points, color, close=False):
+            arr = np.asarray(
+                [[p["x"], p["y"], p["z"], 1.0] for p in points]
+            ).T
+            proj = view @ arr
+            pts = [(proj[0, i], proj[1, i]) for i in range(proj.shape[1])]
+            if close:
+                pts.append(pts[0])
+            draw.line(pts, fill=tuple(color), width=pen_width)
+
+        if "lane" in color_table:
+            for seg in city_map.get("lane_segments", {}).values():
+                for side in ("left_lane_boundary", "right_lane_boundary"):
+                    draw_polyline(seg[side], color_table["lane"])
+        if "ped_crossing" in color_table:
+            for pc in city_map.get("pedestrian_crossings", {}).values():
+                for edge in ("edge1", "edge2"):
+                    draw_polyline(pc[edge], color_table["ped_crossing"])
+        if "drivable_area" in color_table:
+            for da in city_map.get("drivable_areas", {}).values():
+                draw_polyline(
+                    da["area_boundary"], color_table["drivable_area"],
+                    close=True,
+                )
+        return image
+
     # -- items --------------------------------------------------------------------
 
     def __len__(self):
@@ -493,6 +579,26 @@ class MotionDataset:
                     )
                     for i in cam_idx
                 ]
+                for frame in segment
+            ]
+
+        # BEV rasters use the lidar (or first-sensor) timestamp per frame.
+        ref_idx = lidar_idx[0] if lidar_idx else 0
+        if self._3dbox_bev_settings is not None:
+            annotations = self._annotations(item)
+            result["3dbox_bev_images"] = [
+                self.get_3dbox_bev_image(
+                    item, frame[ref_idx]["timestamp"], annotations,
+                    self._3dbox_bev_settings,
+                )
+                for frame in segment
+            ]
+        if self.hdmap_bev_settings is not None:
+            result["hdmap_bev_images"] = [
+                self.get_hdmap_bev_image(
+                    item, frame[ref_idx]["timestamp"], poses,
+                    self.hdmap_bev_settings,
+                )
                 for frame in segment
             ]
 

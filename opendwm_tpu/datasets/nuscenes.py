@@ -181,11 +181,29 @@ class MotionDataset:
                     }
 
         if image_description_settings is not None:
-            with fs.open(image_description_settings["path"]) as f:
+            # caption files are local artifacts, not dataset-relative
+            # (reference nuscenes.py:904-918 uses plain open); fall back to
+            # the dataset fs for paths packaged alongside the tables.
+            def _open_local(path):
+                try:
+                    return open(path, "r", encoding="utf-8")
+                except OSError:
+                    return fs.open(path)
+
+            with _open_local(image_description_settings["path"]) as f:
                 self.image_descriptions = json.load(f)
             self.image_desc_rs = np.random.RandomState(
                 image_description_settings.get("seed", 0)
             )
+            # DriveMLM caption files are keyed "{scene}|{channel}|{time}";
+            # time_list_dict maps "{scene}|{channel}" → sorted timestamps
+            # for nearest-time lookup (reference nuscenes.py:797-806).
+            self.time_list_dict = None
+            if "time_list_dict_path" in image_description_settings:
+                with _open_local(
+                    image_description_settings["time_list_dict_path"]
+                ) as f:
+                    self.time_list_dict = json.load(f)
 
         # enumerate all (scene, segment) items
         self.items = []
@@ -736,8 +754,18 @@ class MotionDataset:
                 frame_caps = []
                 for i in cam_idx:
                     sd = frame[i]
-                    key = sd["filename"].split(".")[0].split("/")[-1]
-                    cap = self.image_descriptions.get(key, {})
+                    if self.time_list_dict is not None:
+                        scene_camera = "{}|{}".format(
+                            item["scene"]["token"], self.sensor_channels[i]
+                        )
+                        tl = self.time_list_dict[scene_camera]
+                        nearest = tl[find_nearest(tl, sd["timestamp"])]
+                        cap = self.image_descriptions.get(
+                            f"{scene_camera}|{nearest}", {}
+                        )
+                    else:
+                        key = sd["filename"].split(".")[0].split("/")[-1]
+                        cap = self.image_descriptions.get(key, {})
                     frame_caps.append(dict(cap))
                 align_image_description_crossview(
                     frame_caps, self.image_description_settings

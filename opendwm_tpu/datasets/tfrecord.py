@@ -143,3 +143,15 @@ def decode_float(raw: bytes) -> float:
 
 def decode_packed_doubles(raw: bytes) -> list[float]:
     return list(struct.unpack(f"<{len(raw) // 8}d", raw))
+
+
+def decode_packed_floats(raw: bytes) -> list[float]:
+    return list(struct.unpack(f"<{len(raw) // 4}f", raw))
+
+
+def decode_packed_varints(raw: bytes) -> list[int]:
+    out, pos = [], 0
+    while pos < len(raw):
+        value, pos = _read_varint(raw, pos)
+        out.append(value)
+    return out

@@ -35,6 +35,7 @@ import optax
 from opendwm_tpu.config import register
 from opendwm_tpu.parallel import mesh as mesh_lib
 from opendwm_tpu.parallel import sharding as sharding_lib
+from opendwm_tpu.pipelines import optim
 
 
 @flax.struct.dataclass
@@ -397,6 +398,7 @@ class CTSDPipeline:
         training_config: Optional[dict] = None,
         inference_config: Optional[dict] = None,
         optimizer_config: Optional[dict] = None,
+        lr_scheduler_config: Optional[dict] = None,
         mesh=None,
         model_type: str = "sd3",
         sharding_policy: Optional[str] = None,
@@ -414,20 +416,9 @@ class CTSDPipeline:
             "distribution_framework", "fsdp"
         )
         self.sharding_min_size = sharding_min_size
-        oc = optimizer_config or {}
-        tx = optax.adamw(
-            learning_rate=oc.get("lr", 1e-4),
-            b1=oc.get("beta1", 0.9),
-            b2=oc.get("beta2", 0.999),
-            weight_decay=oc.get("weight_decay", 0.01),
+        self.tx = optim.build_optimizer(
+            optimizer_config, self.training_config, lr_scheduler_config
         )
-        clip = self.training_config.get("max_norm_for_grad_clip")
-        if clip is not None:
-            tx = optax.chain(optax.clip_by_global_norm(clip), tx)
-        accum = self.training_config.get("gradient_accumulation_steps")
-        if accum and accum > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=accum)
-        self.tx = tx
         self._jit_cache: dict = {}
         self.vae = None
         self.vae_params = None

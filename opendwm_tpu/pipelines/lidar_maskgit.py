@@ -32,6 +32,7 @@ import optax
 from opendwm_tpu.config import register
 from opendwm_tpu.parallel import mesh as mesh_lib
 from opendwm_tpu.parallel import sharding as sharding_lib
+from opendwm_tpu.pipelines import optim
 from opendwm_tpu.pipelines.ctsd import TrainState
 
 
@@ -120,6 +121,7 @@ class MaskGITPipeline:
         training_config: Optional[dict] = None,
         inference_config: Optional[dict] = None,
         optimizer_config: Optional[dict] = None,
+        lr_scheduler_config: Optional[dict] = None,
         mesh=None,
         sharding_policy: Optional[str] = None,
         sharding_min_size: int = sharding_lib.MIN_SHARD_SIZE,
@@ -137,16 +139,9 @@ class MaskGITPipeline:
         self.sharding_min_size = sharding_min_size
         self.blank_code = tuple(blank_code) if blank_code else ()
         self.gamma = gamma_fn(self.common_config.get("gamma_mode", "cosine"))
-        oc = optimizer_config or {}
-        tx = optax.adamw(
-            learning_rate=oc.get("lr", 1e-4),
-            b1=oc.get("beta1", 0.9), b2=oc.get("beta2", 0.999),
-            weight_decay=oc.get("weight_decay", 0.01),
+        self.tx = optim.build_optimizer(
+            optimizer_config, self.training_config, lr_scheduler_config
         )
-        clip = self.training_config.get("max_norm_for_grad_clip")
-        if clip:
-            tx = optax.chain(optax.clip_by_global_norm(clip), tx)
-        self.tx = tx
         self.vq_params = None  # set via load_vq_params
         self._jit_cache: dict = {}
 

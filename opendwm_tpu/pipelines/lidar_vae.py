@@ -17,6 +17,7 @@ import optax
 from opendwm_tpu.config import register
 from opendwm_tpu.parallel import mesh as mesh_lib
 from opendwm_tpu.parallel import sharding as sharding_lib
+from opendwm_tpu.pipelines import optim
 from opendwm_tpu.pipelines.ctsd import TrainState
 from opendwm_tpu.pipelines.lidar_vqvae import stable_bce_with_logits
 
@@ -29,6 +30,7 @@ class LidarVAE:
         common_config: Optional[dict] = None,
         training_config: Optional[dict] = None,
         optimizer_config: Optional[dict] = None,
+        lr_scheduler_config: Optional[dict] = None,
         mesh=None,
         sharding_policy: str = "ddp",
         sharding_min_size: int = sharding_lib.MIN_SHARD_SIZE,
@@ -39,15 +41,9 @@ class LidarVAE:
         self.mesh = mesh or mesh_lib.make_mesh()
         self.policy = sharding_policy
         self.sharding_min_size = sharding_min_size
-        oc = optimizer_config or {}
-        tx = optax.adamw(
-            learning_rate=oc.get("lr", 1e-4),
-            weight_decay=oc.get("weight_decay", 0.01),
+        self.tx = optim.build_optimizer(
+            optimizer_config, self.training_config, lr_scheduler_config
         )
-        clip = self.training_config.get("max_norm_for_grad_clip")
-        if clip:
-            tx = optax.chain(optax.clip_by_global_norm(clip), tx)
-        self.tx = tx
         self._jit_cache: dict = {}
 
     def init_state(self, rng, example_batch) -> TrainState:

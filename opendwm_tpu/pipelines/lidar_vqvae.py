@@ -25,6 +25,7 @@ from opendwm_tpu.models.vq_point_cloud import (
 )
 from opendwm_tpu.parallel import mesh as mesh_lib
 from opendwm_tpu.parallel import sharding as sharding_lib
+from opendwm_tpu.pipelines import optim
 
 
 @flax.struct.dataclass
@@ -56,6 +57,7 @@ class LidarCodebook:
         common_config: Optional[dict] = None,
         training_config: Optional[dict] = None,
         optimizer_config: Optional[dict] = None,
+        lr_scheduler_config: Optional[dict] = None,
         mesh=None,
         sharding_policy: str = "ddp",
         sharding_min_size: int = sharding_lib.MIN_SHARD_SIZE,
@@ -66,15 +68,9 @@ class LidarCodebook:
         self.mesh = mesh or mesh_lib.make_mesh()
         self.policy = sharding_policy
         self.sharding_min_size = sharding_min_size
-        oc = optimizer_config or {}
-        tx = optax.adamw(
-            learning_rate=oc.get("lr", 1e-4),
-            weight_decay=oc.get("weight_decay", 0.01),
+        self.tx = optim.build_optimizer(
+            optimizer_config, self.training_config, lr_scheduler_config
         )
-        clip = self.training_config.get("max_norm_for_grad_clip")
-        if clip:
-            tx = optax.chain(optax.clip_by_global_norm(clip), tx)
-        self.tx = tx
         self._jit_cache: dict = {}
 
     def init_state(self, rng, example_batch) -> VQTrainState:

@@ -1,0 +1,120 @@
+"""Optimizer + LR-schedule construction shared by all pipelines.
+
+The reference configures ``torch.optim.AdamW`` plus an optional
+``lr_scheduler`` dict (``torch.optim.lr_scheduler.{CosineAnnealingLR,
+ExponentialLR,LinearLR}`` — reference pipelines/ctsd.py:1092-1100,
+pipelines/lidar_maskgit.py:208-219 and configs/lidar/*.json). Here the same
+config shapes resolve to optax schedules, so reference configs keep working:
+
+    "optimizer_config": {"lr": 2e-4, "weight_decay": 0.01},
+    "lr_scheduler": {
+        "_class_name": "torch.optim.lr_scheduler.CosineAnnealingLR",
+        "T_max": 100000, "eta_min": 1e-5
+    }
+
+An extra TPU-native ``warmup_cosine`` type covers the common
+linear-warmup-then-cosine recipe in one entry.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+from opendwm_tpu.config import register
+
+
+# The config runtime instantiates any {"_class_name": ...} node, so the
+# reference's torch.optim.lr_scheduler names resolve here to plain spec
+# dicts that build_schedule() consumes (reference passes the torch
+# scheduler object the same way, pipelines/ctsd.py:1098-1100).
+
+@register(aliases=("torch.optim.lr_scheduler.CosineAnnealingLR",))
+def CosineAnnealingLR(**kwargs):
+    return {"type": "cosine", **kwargs}
+
+
+@register(aliases=("torch.optim.lr_scheduler.ExponentialLR",))
+def ExponentialLR(**kwargs):
+    return {"type": "exponential", **kwargs}
+
+
+@register(aliases=("torch.optim.lr_scheduler.LinearLR",))
+def LinearLR(**kwargs):
+    return {"type": "linear", **kwargs}
+
+
+def build_schedule(config: Optional[dict], base_lr: float):
+    """lr_scheduler config dict → optax schedule (or the scalar lr)."""
+    if not config:
+        return base_lr
+    name = config.get("_class_name", config.get("type", ""))
+    name = name.rsplit(".", 1)[-1]
+    if name in ("CosineAnnealingLR", "cosine"):
+        t_max = config.get("T_max", config.get("decay_steps", 10000))
+        eta_min = config.get("eta_min", config.get("end_lr", 0.0))
+        return optax.cosine_decay_schedule(
+            base_lr, t_max, alpha=eta_min / base_lr if base_lr else 0.0
+        )
+    if name in ("ExponentialLR", "exponential"):
+        gamma = config.get("gamma", 1.0)
+        if gamma == 1.0:
+            return base_lr
+        return optax.exponential_decay(base_lr, 1, gamma)
+    if name in ("LinearLR", "linear"):
+        start = config.get("start_factor", 1.0 / 3.0)
+        end = config.get("end_factor", 1.0)
+        total = config.get("total_iters", 5)
+        return optax.linear_schedule(base_lr * start, base_lr * end, total)
+    if name in ("warmup_cosine", "WarmupCosine"):
+        return optax.warmup_cosine_decay_schedule(
+            init_value=config.get("init_lr", 0.0),
+            peak_value=base_lr,
+            warmup_steps=config.get("warmup_steps", 1000),
+            decay_steps=config.get("decay_steps", 100000),
+            end_value=config.get("end_lr", 0.0),
+        )
+    raise ValueError(f"unknown lr scheduler {name!r}")
+
+
+def build_optimizer(
+    optimizer_config: Optional[dict],
+    training_config: Optional[dict] = None,
+    lr_scheduler_config: Optional[dict] = None,
+):
+    """AdamW (+clip, +accumulation) mirroring the reference's optimizer
+    stack; returns an optax GradientTransformation."""
+    oc = optimizer_config or {}
+    tc = training_config or {}
+    lr = build_schedule(
+        lr_scheduler_config or oc.get("lr_scheduler"), oc.get("lr", 1e-4)
+    )
+    if oc.get("flat"):
+        # Fused single-buffer AdamW: ~160x faster update on TPU for
+        # many-leaf trees (see parallel/flat_optim.py).
+        from opendwm_tpu.parallel.flat_optim import flat_adamw
+
+        tx = flat_adamw(
+            learning_rate=lr,
+            b1=oc.get("beta1", 0.9),
+            b2=oc.get("beta2", 0.999),
+            eps=oc.get("eps", 1e-8),
+            weight_decay=oc.get("weight_decay", 0.01),
+            mu_dtype=oc.get("mu_dtype", "float32"),
+        )
+    else:
+        tx = optax.adamw(
+            learning_rate=lr,
+            b1=oc.get("beta1", 0.9),
+            b2=oc.get("beta2", 0.999),
+            eps=oc.get("eps", 1e-8),
+            weight_decay=oc.get("weight_decay", 0.01),
+        )
+    clip = tc.get("max_norm_for_grad_clip")
+    if clip:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    accum = tc.get("gradient_accumulation_steps")
+    if accum and accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx

@@ -128,7 +128,6 @@ def main(args=None):
     if config.get("vq_checkpoint_path") and hasattr(
         pipeline, "load_vq_params"
     ):
-        from opendwm_tpu import checkpoint as ckpt_lib
 
         pipeline.load_vq_params(
             ckpt_lib.load_model_only(config["vq_checkpoint_path"])
@@ -136,7 +135,6 @@ def main(args=None):
     if config.get("autoencoder_checkpoint_path") and hasattr(
         pipeline, "load_autoencoder_params"
     ):
-        from opendwm_tpu import checkpoint as ckpt_lib
 
         pipeline.load_autoencoder_params(
             ckpt_lib.load_model_only(config["autoencoder_checkpoint_path"])
@@ -145,7 +143,6 @@ def main(args=None):
         with open(config["blank_code_path"]) as f:
             pipeline.blank_code = tuple(json.load(f)["blank_code"])
     if config.get("vae_checkpoint_path") and hasattr(pipeline, "set_vae"):
-        from opendwm_tpu import checkpoint as ckpt_lib
 
         vae = create_instance_from_config(config["vae"])
         pipeline.set_vae(

@@ -111,3 +111,25 @@ class TestArgoverse:
         assert (box[..., 2] > 0).sum() > 0  # vehicle drawn in blue
         hd = np.asarray(item["hdmap_images"][0][0])
         assert (hd[..., 1] > 0).sum() > 0  # lane drawn in green
+
+    def test_bev_rasters(self, root):
+        fs = fsspec.filesystem("dir", path=str(root))
+        ds = MotionDataset(
+            fs, sequence_length=1, fps_stride_tuples=[(0, 1)],
+            sensor_channels=["lidar"],
+            _3dbox_bev_settings={"image_size": [640, 640]},
+            hdmap_bev_settings={"image_size": [640, 640]},
+            max_point_count=128,
+        )
+        item = ds[0]
+        box = np.asarray(item["3dbox_bev_images"][0])
+        assert box.shape == (640, 640, 3)
+        ys, xs = np.nonzero(box.any(-1))
+        # vehicle at ego (10, 0) → pixel (6.4*10+320, 320) = (384, 320)
+        assert abs(xs.mean() - 384) < 20 and abs(ys.mean() - 320) < 20
+        hd = np.asarray(item["hdmap_bev_images"][0])
+        ys, xs = np.nonzero(hd.any(-1))
+        # lanes along ego +x at y=±2 → rows 320∓12.8, columns ≥ 320
+        assert hd.any(-1).sum() > 0 and xs.min() >= 318
+        rows = set(np.unique(ys))
+        assert rows & {306, 307, 308} and rows & {332, 333, 334}

@@ -142,6 +142,35 @@ class TestNuScenes:
             5.0,
         )
 
+    def test_time_keyed_captions(self, dataset_root, tmp_path):
+        """DriveMLM caption files keyed "{scene}|{channel}|{time}" with a
+        nearest-time lookup (reference nuscenes.py:797-806)."""
+        caps, times = {}, {}
+        for ch in ("CAM_FRONT", "CAM_BACK"):
+            sc = f"scene_0|{ch}"
+            times[sc] = [1_000_000 * i for i in range(3)]
+            for i in range(3):
+                caps[f"{sc}|{1_000_000 * i}"] = {
+                    "image_description": f"{ch.lower()} frame {i}"
+                }
+        (tmp_path / "caps.json").write_text(json.dumps(caps))
+        (tmp_path / "times.json").write_text(json.dumps(times))
+        fs = fsspec.filesystem("dir", path=str(dataset_root))
+        ds = MotionDataset(
+            fs, "v1.0-mini", sequence_length=2,
+            fps_stride_tuples=[(0, 1)],
+            sensor_channels=["CAM_FRONT", "CAM_BACK"],
+            image_description_settings={
+                "path": str(tmp_path / "caps.json"),
+                "time_list_dict_path": str(tmp_path / "times.json"),
+                "selected_keys": ["image_description"],
+            },
+        )
+        item = ds[0]
+        # camera timestamps are 1e6*i + 10 → nearest listed time is 1e6*i
+        assert item["image_description"][0][0] == "cam_front frame 0"
+        assert item["image_description"][1][1] == "cam_back frame 1"
+
     def test_3dbox_raster_nonempty(self, dataset_root):
         fs = fsspec.filesystem("dir", path=str(dataset_root))
         ds = MotionDataset(

@@ -4,6 +4,7 @@ Frame protos."""
 import io
 import json
 import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -28,7 +29,29 @@ def packed_doubles(values):
     return struct.pack(f"<{len(values)}d", *values)
 
 
-def make_frame(ts, color):
+def packed_floats(values):
+    return struct.pack(f"<{len(values)}f", *values)
+
+
+def matrix_float_compressed(arr):
+    arr = np.asarray(arr, np.float32)
+    dims = b"".join(tfr.encode_varint(d) for d in arr.shape)
+    mf = (
+        tfr.encode_field(1, packed_floats(list(arr.reshape(-1))))
+        + tfr.encode_field(2, tfr.encode_field(1, dims))
+    )
+    return zlib.compress(mf)
+
+
+def make_range_image():
+    # 1 beam x 4 azimuth columns, channel 0 = range
+    ri = np.zeros((1, 4, 2), np.float32)
+    ri[0, 3, 0] = 10.0  # azimuth -0.75*pi
+    ri[0, 1, 0] = 5.0   # azimuth +0.25*pi
+    return ri
+
+
+def make_frame(ts, color, with_lidar=False):
     # Transform {matrix: packed doubles}
     pose = tfr.encode_field(1, packed_doubles(list(np.eye(4).reshape(-1))))
     intr = tfr.encode_field(2, packed_doubles([50, 50, 16, 12]))
@@ -50,13 +73,42 @@ def make_frame(ts, color):
         + tfr.encode_field(3, pose)
         + tfr.encode_field(4, image)
     )
+    if with_lidar:
+        laser_extr = tfr.encode_field(
+            5,
+            tfr.encode_field(1, packed_doubles(list(np.eye(4).reshape(-1)))),
+        )
+        laser_calib = (
+            tfr.encode_field(1, 1)  # name = TOP
+            + tfr.encode_field(3, 0.0)  # beam_inclination_min
+            + tfr.encode_field(4, 0.0)  # beam_inclination_max
+            + laser_extr
+        )
+        # splice laser calibration into the existing context message
+        frame = frame.replace(
+            tfr.encode_field(1, context),
+            tfr.encode_field(1, context + tfr.encode_field(3, laser_calib)),
+        )
+        ri = tfr.encode_field(2, matrix_float_compressed(make_range_image()))
+        laser = tfr.encode_field(1, 1) + tfr.encode_field(2, ri)
+        box = (
+            tfr.encode_field(1, 10.0) + tfr.encode_field(2, 0.0)
+            + tfr.encode_field(3, 0.5) + tfr.encode_field(4, 2.0)  # width
+            + tfr.encode_field(5, 4.0) + tfr.encode_field(6, 1.5)  # len, h
+            + tfr.encode_field(7, 0.0)  # heading
+        )
+        label = tfr.encode_field(1, box) + tfr.encode_field(3, 1)  # VEHICLE
+        frame += tfr.encode_field(5, laser) + tfr.encode_field(6, label)
     return frame
 
 
 @pytest.fixture(scope="module")
 def shard(tmp_path_factory):
     root = tmp_path_factory.mktemp("waymo")
-    payloads = [make_frame(1000 * i, (10 * i, 0, 0)) for i in range(5)]
+    payloads = [
+        make_frame(1000 * i, (10 * i, 0, 0), with_lidar=True)
+        for i in range(5)
+    ]
     path = root / "segment-000.tfrecord"
     with open(path, "wb") as f:
         tfr.write_tfrecord(f, payloads)
@@ -112,3 +164,44 @@ class TestWaymo:
         np.testing.assert_allclose(cam[:3, 2], [1, 0, 0], atol=1e-6)
         np.testing.assert_allclose(cam[0, 3], 1.5)
         assert item["ego_transforms"].shape == (2, 1, 4, 4)
+
+    def test_lidar_range_image_decode(self, shard):
+        fs = fsspec.filesystem("dir", path=str(shard))
+        ds = MotionDataset(
+            fs, str(shard / "info.json"), sequence_length=1,
+            fps_stride_tuples=[(10, 1)],
+            sensor_channels=["LIDAR_TOP"], max_point_count=16,
+        )
+        item = ds[0]
+        pts = item["lidar_points"][0][np.asarray(item["lidar_points_mask"][0])]
+        assert pts.shape == (2, 3)
+        # identity extrinsic, single beam at inclination 0: ranges land at
+        # azimuths ±(2k+1)/4·pi per the pixel-center column sweep
+        by_range = {round(float(np.linalg.norm(p))): p for p in pts}
+        np.testing.assert_allclose(
+            by_range[10], 10 * np.array(
+                [np.cos(-0.75 * np.pi), np.sin(-0.75 * np.pi), 0.0]
+            ), atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            by_range[5], 5 * np.array(
+                [np.cos(0.25 * np.pi), np.sin(0.25 * np.pi), 0.0]
+            ), atol=1e-4,
+        )
+
+    def test_laser_label_rasters(self, shard):
+        fs = fsspec.filesystem("dir", path=str(shard))
+        ds = MotionDataset(
+            fs, str(shard / "info.json"), sequence_length=1,
+            fps_stride_tuples=[(10, 1)],
+            sensor_channels=["CAM_FRONT"],
+            _3dbox_image_settings={"pen_width": 2},
+            _3dbox_bev_settings={"image_size": [640, 640]},
+        )
+        item = ds[0]
+        cam_box = np.asarray(item["3dbox_images"][0][0])
+        assert (cam_box[..., 2] > 0).sum() > 0  # vehicle ahead drawn blue
+        bev = np.asarray(item["3dbox_bev_images"][0])
+        ys, xs = np.nonzero(bev.any(-1))
+        # vehicle at (10, 0) -> pixel (6.4*10+320, 320)
+        assert abs(xs.mean() - 384) < 20 and abs(ys.mean() - 320) < 20
