@@ -44,6 +44,19 @@ def _can_use_flash(q, k, bias, backend_hint: str | None) -> bool:
     return q.shape[-1] <= 256
 
 
+def _can_use_tail_masked(q, k, bias, is_causal, backend_hint) -> bool:
+    """Non-tile sequences (e.g. the 602-token joint attention) route to the
+    whole-K Pallas kernel with in-kernel tail masking (ops/flash_tail.py)."""
+    if backend_hint == "xla" or bias is not None or is_causal:
+        return False
+    platform = jax.devices()[0].platform if jax.devices() else "cpu"
+    if platform != "tpu":
+        return False
+    from opendwm_tpu.ops.flash_tail import supported
+
+    return supported(q.shape[1], k.shape[1], q.shape[-1])
+
+
 def _xla_attention(q, k, v, bias, scale, is_causal):
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -125,4 +138,8 @@ def dot_product_attention(
             block_sizes=block_sizes,
         )
         return out.transpose(0, 2, 1, 3).astype(q.dtype)
+    if _can_use_tail_masked(q, k, bias, is_causal, backend):
+        from opendwm_tpu.ops.flash_tail import tail_masked_attention
+
+        return tail_masked_attention(q, k, v, scale).astype(q.dtype)
     return _xla_attention(q, k, v, bias, scale, is_causal).astype(q.dtype)
