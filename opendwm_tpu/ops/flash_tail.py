@@ -111,7 +111,7 @@ tail_masked_attention.defvjp(_fwd, _bwd)
 def supported(q_seq: int, kv_seq: int, head_dim: int) -> bool:
     return (
         q_seq == kv_seq
-        and 256 <= q_seq
-        and _pad_len(q_seq) <= MAX_KV_VMEM
+        and 128 <= q_seq  # measured faster than XLA from s168 up; tiny
+        and _pad_len(q_seq) <= MAX_KV_VMEM  # seqs (temporal t=6) stay XLA
         and head_dim <= 128
     )
