@@ -33,6 +33,7 @@ from opendwm_tpu.config import register
 AXIS_DP = "dp"
 AXIS_FSDP = "fsdp"
 AXIS_TP = "tp"
+AXIS_PP = "pp"
 AXES = (AXIS_DP, AXIS_FSDP, AXIS_TP)
 
 
@@ -44,9 +45,12 @@ class MeshSpec:
     dp: int = 1
     fsdp: int = -1
     tp: int = 1
+    pp: int = 1  # pipeline stages (parallel/pipeline.py); axis added when >1
 
-    def resolve(self, n_devices: int) -> tuple[int, int, int]:
-        dims = [self.dp, self.fsdp, self.tp]
+    def resolve(self, n_devices: int) -> tuple[int, ...]:
+        dims = [self.dp, self.fsdp, self.tp] + (
+            [self.pp] if self.pp != 1 else []
+        )
         unknown = [i for i, d in enumerate(dims) if d == -1]
         if len(unknown) > 1:
             raise ValueError("At most one mesh axis may be -1.")
@@ -76,8 +80,9 @@ def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
         devices = jax.devices()
     spec = spec or MeshSpec()
     shape = spec.resolve(len(devices))
+    axes = AXES + ((AXIS_PP,) if len(shape) == 4 else ())
     arr = np.asarray(devices).reshape(shape)
-    return Mesh(arr, AXES)
+    return Mesh(arr, axes)
 
 
 def mesh_for_policy(policy: str, devices=None) -> Mesh:
