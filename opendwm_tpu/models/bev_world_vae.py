@@ -129,21 +129,58 @@ class BEVWorldVAE(nn.Module):
     img_feature_dim: int = 64
     num_sample_per_pillar: int = 4
     image_size: tuple = (128, 128)
+    # HoloDrive fine-tune path (reference bevw_vae_mm_model.py:576-596):
+    # swap the small conv image encoder/decoder for a full SD AutoencoderKL
+    # whose converted weights seed the image branch. Keys pass through to
+    # AutoencoderKL (block_out_channels, latent_channels, ...).
+    pretrained_img_vae: Optional[dict] = None
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.img_encoder = SmallImageEncoder(
-            self.img_feature_dim, dtype=self.dtype
-        )
+        if self.pretrained_img_vae is not None:
+            from opendwm_tpu.models.autoencoders import AutoencoderKL
+
+            cfg = dict(self.pretrained_img_vae)
+            cfg.pop("checkpoint_path", None)  # handled by the pipeline
+            self.img_vae = AutoencoderKL(dtype=self.dtype, **cfg)
+            self.img_decoder_proj = nn.Dense(
+                self.img_vae.latent_channels, dtype=self.dtype
+            )
+        else:
+            self.img_encoder = SmallImageEncoder(
+                self.img_feature_dim, dtype=self.dtype
+            )
+            self.img_decoder = ImageDecoder(dtype=self.dtype)
+            self.img_decoder_proj = nn.Dense(
+                self.img_feature_dim, dtype=self.dtype
+            )
         self.lift = DeformableLift(dtype=self.dtype)
         self.img_feat_proj = nn.Dense(
             self.lidar_encoder.codebook_dim, dtype=self.dtype
         )
         self.moments_proj = nn.Dense(2 * self.latent_dim, dtype=self.dtype)
-        self.img_decoder_proj = nn.Dense(
-            self.img_feature_dim, dtype=self.dtype
-        )
-        self.img_decoder = ImageDecoder(dtype=self.dtype)
+
+    @property
+    def _img_downscale(self) -> int:
+        if self.pretrained_img_vae is not None:
+            n = len(self.pretrained_img_vae.get(
+                "block_out_channels", (128, 256, 512, 512)
+            ))
+            return 2 ** (n - 1)
+        return 8
+
+    def _encode_images(self, flat_images):
+        if self.pretrained_img_vae is not None:
+            # moments (mean ‖ logvar) as features, like the reference's
+            # encoder+quant_conv output
+            mean, logvar = self.img_vae.encode(flat_images)
+            return jnp.concatenate([mean, logvar], -1)
+        return self.img_encoder(flat_images)
+
+    def _decode_images(self, planes):
+        if self.pretrained_img_vae is not None:
+            return self.img_vae.decode(planes)
+        return self.img_decoder(planes)
 
     # -- geometry -----------------------------------------------------------
 
@@ -204,7 +241,7 @@ class BEVWorldVAE(nn.Module):
         (mean, logvar) over BEV tokens."""
         lidar_feats = self.lidar_encoder(voxels)  # (b, L, C)
         b, v = images.shape[:2]
-        img_feats = self.img_encoder(
+        img_feats = self._encode_images(
             images.reshape((-1,) + images.shape[2:])
         )
         fh, fw = img_feats.shape[1:3]
@@ -231,7 +268,8 @@ class BEVWorldVAE(nn.Module):
         side = int(round(l**0.5))
         # image branch: per-view gather of BEV features along the frustum
         ih, iw = self.image_size
-        fh, fw = ih // 8, iw // 8
+        df = self._img_downscale
+        fh, fw = ih // df, iw // df
         pts = self._pillar_sample_points()  # (L, S, 3)
         uv, valid = self._project(
             pts, camera_transforms, camera_intrinsics, ego_transforms,
@@ -269,7 +307,7 @@ class BEVWorldVAE(nn.Module):
 
         planes = jax.vmap(splat_one)(flat_idx, valid, feats)
         planes = planes.reshape(b * v, fh, fw, -1)
-        images = self.img_decoder(planes)
+        images = self._decode_images(planes)
         images = images.reshape(b, v, ih, iw, 3)
         return density, voxel_logits, images
 
@@ -304,6 +342,26 @@ class BEVWorldVAE(nn.Module):
             "mean": mean,
             "logvar": logvar,
         }
+
+
+def load_pretrained_img_vae_params(bev_params, vae_params):
+    """Graft converted AutoencoderKL params into the image branch.
+
+    ``bev_params``: init tree of a BEVWorldVAE built with
+    ``pretrained_img_vae``; ``vae_params``: an AutoencoderKL param tree
+    (e.g. from convert/cli --kind vae). Returns a new tree; the HoloDrive
+    fine-tune then trains everything (or freeze the ``img_vae`` subtree by
+    masking the optimizer).
+    """
+    out = jax.tree.map(lambda x: x, bev_params)  # shallow copy per leaf
+    src = vae_params.get("params", vae_params)
+    dst = out["params"]["img_vae"]
+    for key in dst:
+        if key not in src:
+            raise KeyError(f"pretrained VAE params missing {key!r}")
+    out["params"] = dict(out["params"])
+    out["params"]["img_vae"] = {k: src[k] for k in dst}
+    return out
 
 
 class ImageDecoder(nn.Module):

@@ -100,3 +100,45 @@ class TestBEVWorldVAE:
         norms = [float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)]
         assert np.isfinite(norms).all()
         assert sum(norms) > 0
+
+
+class TestPretrainedImgVAE:
+    def test_sd_vae_branch_and_param_graft(self, model_and_inputs):
+        from opendwm_tpu.models.autoencoders import AutoencoderKL
+        from opendwm_tpu.models.bev_world_vae import (
+            load_pretrained_img_vae_params,
+        )
+
+        base, inputs = model_and_inputs
+        vae_cfg = dict(
+            block_out_channels=(8, 16), latent_channels=4,
+            use_quant_conv=True,
+        )
+        model = BEVWorldVAE(
+            voxelizer=base.voxelizer,
+            lidar_encoder=base.lidar_encoder,
+            lidar_decoder=base.lidar_decoder,
+            latent_dim=LATENT, num_sample_per_pillar=3,
+            image_size=(32, 32),
+            pretrained_img_vae=vae_cfg,
+        )
+        params = model.init(jax.random.PRNGKey(1), **inputs)
+        assert "img_vae" in params["params"]
+        out = model.apply(params, **inputs)
+        assert out["recon_images"].shape == (B, V, 32, 32, 3)
+
+        # graft a converted AutoencoderKL's params into the image branch
+        vae = AutoencoderKL(**vae_cfg)
+        vae_params = vae.init(
+            jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 3))
+        )
+        grafted = load_pretrained_img_vae_params(params, vae_params)
+        # the image branch must now compute exactly what the VAE computes
+        imgs = inputs["images"].reshape(-1, 32, 32, 3)
+        want_mean, _ = vae.apply(vae_params, imgs, method=vae.encode)
+        got = model.apply(
+            grafted, imgs, method=model._encode_images
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[..., :4]), np.asarray(want_mean), atol=1e-6
+        )
