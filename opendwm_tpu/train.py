@@ -150,17 +150,34 @@ def main(args=None):
         )
 
     dataset = create_instance_from_config(config["training_dataset"])
-    collate = create_instance_from_config(
-        config.get("training_collate_fn", {})
+    # reference config shape: training_dataloader {batch_size, num_workers,
+    # prefetch_factor, collate_fn} (e.g. configs/ctsd/multi_datasets of the
+    # reference); the flat keys remain supported.
+    dl_cfg = dict(config.get("training_dataloader", {}))
+    collate = (
+        create_instance_from_config(dl_cfg["collate_fn"])
+        if "collate_fn" in dl_cfg
+        else create_instance_from_config(
+            config.get("training_collate_fn", {})
+        )
     ) or (lambda items: items[0])
     sampler = None
     if "training_sampler" in config:
         sampler = create_instance_from_config(
             config["training_sampler"], dataset=dataset
         )
-    loader = batch_iterator(
-        dataset, config.get("batch_size", 1), collate, sampler, seed
-    )
+    batch_size = dl_cfg.get("batch_size", config.get("batch_size", 1))
+    num_workers = dl_cfg.get("num_workers", 0)
+    if num_workers > 0:
+        from opendwm_tpu.datasets.loader import PrefetchLoader
+
+        loader = iter(PrefetchLoader(
+            dataset, batch_size, collate, sampler, seed,
+            num_workers=num_workers,
+            prefetch_batches=dl_cfg.get("prefetch_factor", 2),
+        ))
+    else:
+        loader = batch_iterator(dataset, batch_size, collate, sampler, seed)
 
     first = next(loader)
     device_batch = to_device_batch(first, pipeline.mesh)
