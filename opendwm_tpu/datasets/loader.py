@@ -56,9 +56,9 @@ class PrefetchLoader:
 
     # -- index stream (matches train.batch_iterator) ------------------------
 
-    def _index_batches(self):
+    def _index_batches(self, stop: threading.Event):
         if self.sampler is not None:
-            while not self._stop.is_set():
+            while not stop.is_set():
                 for micro in self.sampler:
                     yield list(micro)
                 self.sampler.set_epoch(
@@ -67,16 +67,29 @@ class PrefetchLoader:
             return
         rng = np.random.default_rng(self.seed)
         n = len(self.dataset)
-        while not self._stop.is_set():
+        while not stop.is_set():
             order = rng.permutation(n)
             for i in range(0, n - self.batch_size + 1, self.batch_size):
                 yield [int(j) for j in order[i: i + self.batch_size]]
 
-    def _produce(self):
+    def _produce(self, stop: threading.Event, out_queue: queue.Queue):
+        # stop/out_queue are passed in (not read off self) so a producer
+        # orphaned by re-iteration can never feed the replacement queue.
+        def put_with_stop_check(item):
+            # Bounded put that gives up when the consumer abandoned
+            # iteration (a blocking put on a full queue would hang the
+            # thread forever).
+            while not stop.is_set():
+                try:
+                    out_queue.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
+
         with ThreadPoolExecutor(self.num_workers) as pool:
             try:
-                for indices in self._index_batches():
-                    if self._stop.is_set():
+                for indices in self._index_batches(stop):
+                    if stop.is_set():
                         break
                     items = list(
                         pool.map(self.dataset.__getitem__, indices)
@@ -84,19 +97,22 @@ class PrefetchLoader:
                     batch = self.collate_fn(items)
                     if self.to_device is not None:
                         batch = self.to_device(batch)
-                    while not self._stop.is_set():
-                        try:
-                            self._queue.put(batch, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
+                    put_with_stop_check(batch)
             except Exception as e:  # surface worker errors to the consumer
-                self._queue.put(e)
+                put_with_stop_check(e)
             finally:
-                self._queue.put(_SENTINEL)
+                put_with_stop_check(_SENTINEL)
 
     def __iter__(self):
-        self._thread = threading.Thread(target=self._produce, daemon=True)
+        if self._thread is not None and self._thread.is_alive():
+            # Two producers feeding one queue would interleave batches;
+            # stop the previous iteration's producer first.
+            self.close()
+            self._stop = threading.Event()
+            self._queue = queue.Queue(self.prefetch_batches)
+        self._thread = threading.Thread(
+            target=self._produce, args=(self._stop, self._queue), daemon=True
+        )
         self._thread.start()
         while True:
             item = self._queue.get()

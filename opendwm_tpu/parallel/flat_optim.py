@@ -60,11 +60,14 @@ def flat_adamw(
             raise ValueError("flat_adamw requires params (weight decay)")
         g, _ = ravel_pytree(updates)
         p, unravel = ravel_pytree(params)
-        count = optax.safe_increment(state.count)
+        # optax.scale_by_schedule evaluates the schedule at the
+        # PRE-increment count (first update uses schedule(0)); match that
+        # so warmup schedules are not shifted by one step.
         lr = (
-            learning_rate(count)
+            learning_rate(state.count)
             if callable(learning_rate) else learning_rate
         )
+        count = optax.safe_increment(state.count)
         gf = g.astype(jnp.float32)
         mu = b1 * state.mu.astype(jnp.float32) + (1.0 - b1) * gf
         nu = b2 * state.nu.astype(jnp.float32) + (1.0 - b2) * gf * gf

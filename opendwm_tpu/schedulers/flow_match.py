@@ -44,9 +44,17 @@ class FlowMatchEulerScheduler:
         return np.asarray(self._shift_sigma(sigmas), dtype=np.float32)
 
     def inference_sigmas(self, num_inference_steps: int) -> np.ndarray:
-        """Sigma ladder for sampling, with the trailing 0 appended."""
-        train = self.train_sigmas
-        sigmas = np.linspace(train[0], train[-1], num_inference_steps)
+        """Sigma ladder for sampling, with the trailing 0 appended.
+
+        Matches diffusers 0.31.0 ``FlowMatchEulerDiscreteScheduler.set_timesteps``
+        (pinned by the reference): the linspace runs over the *shifted* train
+        endpoints and the shift transform is applied AGAIN to the result —
+        i.e. the shift is deliberately double-applied at inference time.
+        """
+        train = self.train_sigmas.astype(np.float64)
+        sigmas = self._shift_sigma(
+            np.linspace(train[0], train[-1], num_inference_steps)
+        )
         return np.concatenate([sigmas, [0.0]]).astype(np.float32)
 
     def inference_timesteps(self, num_inference_steps: int) -> np.ndarray:

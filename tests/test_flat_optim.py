@@ -64,3 +64,22 @@ class TestFlatAdamW:
         st = tx.init(p)
         u, st = tx.update({"w": jnp.ones((4, 4))}, st, p)
         assert u["w"].shape == (4, 4)
+
+    def test_schedule_matches_optax_warmup_alignment(self):
+        # optax evaluates the schedule at the PRE-increment count (first
+        # update uses schedule(0)); the flat drop-in must match.
+        sched = optax.linear_schedule(0.0, 1e-2, transition_steps=4)
+        ref = optax.adamw(sched, weight_decay=0.0)
+        fla = flat_adamw(sched, weight_decay=0.0)
+        p = {"w": jnp.ones((8,))}
+        g = {"w": jnp.full((8,), 0.5)}
+        st_r, st_f = ref.init(p), fla.init(p)
+        pr, pf = p, p
+        for _ in range(3):
+            ur, st_r = ref.update(g, st_r, pr)
+            uf, st_f = fla.update(g, st_f, pf)
+            np.testing.assert_allclose(
+                np.asarray(ur["w"]), np.asarray(uf["w"]), atol=1e-7
+            )
+            pr = optax.apply_updates(pr, ur)
+            pf = optax.apply_updates(pf, uf)

@@ -82,3 +82,41 @@ class TestPrefetchLoader:
         batches = [next(it) for _ in range(5)]  # > one epoch (2 batches)
         loader.close()
         assert len(batches) == 5
+
+    def test_reiteration_replaces_producer(self):
+        ds = SlowDataset(n=16, delay=0.0)
+        loader = PrefetchLoader(
+            ds, batch_size=4, collate_fn=collate, seed=3, num_workers=2
+        )
+        it1 = iter(loader)
+        next(it1)
+        # Re-iterating stops the first producer and starts clean: the new
+        # stream must reproduce the same deterministic batch sequence.
+        it2 = iter(loader)
+        first = next(it2)
+        rng = np.random.default_rng(3)
+        order = rng.permutation(16)
+        expected = np.stack(
+            [np.full((2,), float(j)) for j in order[:4]]
+        )
+        np.testing.assert_array_equal(first["x"], expected)
+        loader.close()
+
+    def test_abandoned_consumer_does_not_hang_producer(self):
+        class Broken(SlowDataset):
+            def __getitem__(self, i):
+                raise RuntimeError("boom")
+
+        loader = PrefetchLoader(
+            Broken(n=8), batch_size=2, collate_fn=collate,
+            num_workers=1, prefetch_batches=1,
+        )
+        it = iter(loader)
+        try:
+            next(it)
+        except RuntimeError:
+            pass
+        del it  # consumer walks away without draining the sentinel
+        time.sleep(0.2)
+        loader.close()  # must return promptly (no blocked put inside)
+        assert not loader._thread.is_alive()

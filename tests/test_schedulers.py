@@ -104,6 +104,31 @@ class TestFlowMatch:
         expected = np.stack([(sig[i + 1] - sig[i]) * np.ones(4) for i in range(3)])
         np.testing.assert_allclose(np.asarray(out)[0], expected, rtol=1e-5)
 
+    def test_sigma_ladder_pins_diffusers_0_31_0(self):
+        # Hard-coded values from diffusers 0.31.0
+        # FlowMatchEulerDiscreteScheduler.set_timesteps (shift=3.0, 1000 train
+        # steps): the linspace over shifted train endpoints is shifted AGAIN.
+        s = FlowMatchEulerScheduler(shift=3.0, num_train_timesteps=1000)
+        np.testing.assert_allclose(
+            s.inference_sigmas(5),
+            [1.0, 0.9003590941429138, 0.7511211037635803,
+             0.5029850602149963, 0.008928571827709675, 0.0],
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            s.inference_sigmas(8),
+            [1.0, 0.9475425481796265, 0.8827877640724182,
+             0.8008373379707336, 0.6937931180000305, 0.5480455756187439,
+             0.33797216415405273, 0.008928571827709675, 0.0],
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            s.inference_timesteps(5),
+            [1000.0, 900.3590698242188, 751.12109375,
+             502.9850769042969, 8.928571701049805],
+            rtol=1e-6,
+        )
+
     def test_logit_normal_sampling_in_range(self):
         s = FlowMatchEulerScheduler()
         idx = s.sample_train_indices(jax.random.PRNGKey(0), (1024,))
