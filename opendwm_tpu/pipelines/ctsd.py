@@ -253,6 +253,29 @@ def get_conditions(
     return conds
 
 
+def slice_batch_time_window(batch: dict, start: int, length: int) -> dict:
+    """Per-window view of a long-horizon condition batch.
+
+    Leaves whose axis 1 holds more than ``length`` frames are sliced to the
+    window's absolute frame range ``[start, start+length)`` (clamped to the
+    available frames, so a ragged final window reuses the tail). Leaves
+    already at window length — or without a time axis — pass through
+    unchanged. Mirrors reference per-window condition re-slicing
+    (src/dwm/pipelines/ctsd.py:1726-1801).
+    """
+    out = {}
+    for key, val in batch.items():
+        if (
+            hasattr(val, "ndim") and val.ndim >= 2
+            and val.shape[1] > length
+        ):
+            s = max(0, min(start, val.shape[1] - length))
+            out[key] = val[:, s:s + length]
+        else:
+            out[key] = val
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Reference-frame / diffusion-forcing input construction
 # (reference ctsd.py:618-741)
@@ -825,7 +848,14 @@ class CTSDPipeline:
         reference_frame_count: int = 1,
     ) -> jax.Array:
         """Long-video rollout: denoise a window, slide forward carrying the
-        last frames as reference latents (reference ctsd.py:1656-1833)."""
+        last frames as reference latents (reference ctsd.py:1656-1833).
+
+        Conditions are re-sliced per window by the window's absolute frame
+        range, as the reference does (ctsd.py:1726-1801): batch tensors that
+        carry ``total_frames`` (or more) frames on axis 1 feed each window
+        its own text/layout/camera/action slice; tensors with exactly one
+        window of frames are reused for every window (static conditions).
+        """
         b, t, v = latent_shape[:3]
         stride = t - reference_frame_count
         n_windows = max(1, -(-(total_frames - t) // stride) + 1)
@@ -833,8 +863,9 @@ class CTSDPipeline:
         image_latents = None
         for w in range(n_windows):
             rng, step_rng = jax.random.split(rng)
+            window_batch = slice_batch_time_window(batch, w * stride, t)
             lat = self.inference_pipeline(
-                params, batch, latent_shape, step_rng,
+                params, window_batch, latent_shape, step_rng,
                 image_latents=image_latents,
                 reference_frame_count=(
                     reference_frame_count if image_latents is not None else 0

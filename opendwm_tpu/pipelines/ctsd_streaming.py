@@ -33,6 +33,12 @@ class StreamingState:
     conditions: Any               # pytree with (b, T, v, ...) leaves
     frames_received: jax.Array    # () int32
     rng: jax.Array
+    # Unconditional text embeddings for CFG (single-frame (b, 1, v, ...)
+    # leaves, broadcast over the queue at guidance time). None → zeros.
+    uncond_text: Any = None
+
+
+_TEXT_KEYS = ("encoder_hidden_states", "pooled_projections")
 
 
 @register(
@@ -54,7 +60,8 @@ class StreamingCTSDPipeline(CTSDPipeline):
         return n // window
 
     def reset_streaming(
-        self, latent_shape: tuple, cond_template: dict, rng: jax.Array
+        self, latent_shape: tuple, cond_template: dict, rng: jax.Array,
+        uncond_text: Optional[dict] = None,
     ) -> StreamingState:
         """Fresh queue: all-noise latents, zeroed condition slots
         (reference reset_streaming :2012-2035)."""
@@ -66,6 +73,7 @@ class StreamingCTSDPipeline(CTSDPipeline):
             conditions=conds,
             frames_received=jnp.zeros((), jnp.int32),
             rng=k_state,
+            uncond_text=uncond_text,
         )
 
     def send_frame_condition(
@@ -74,9 +82,15 @@ class StreamingCTSDPipeline(CTSDPipeline):
         """Push one frame's conditions into the queue (slot = tail).
 
         frame_batch carries single-frame (b, 1, v, ...) condition tensors
-        with the same keys as the training batch.
+        with the same keys as the training batch. Text conditions refresh
+        only every ``text_prompt_interval`` frames (reference refreshes
+        the encoded prompt at an interval, ctsd.py:2105-2148); in between,
+        the previous frame's text is carried forward.
         """
         frame_conds = get_conditions(frame_batch, self.common_config)
+        interval = int(
+            self.inference_config.get("text_prompt_interval", 1)
+        )
 
         def push(queue, new):
             if new is None or not hasattr(queue, "ndim") or queue.ndim < 2:
@@ -86,12 +100,34 @@ class StreamingCTSDPipeline(CTSDPipeline):
                 new[:, 0] if new.ndim == queue.ndim else new
             )
 
+        refresh = (
+            jnp.ones((), bool) if interval <= 1
+            else state.frames_received % interval == 0
+        )
         new_conds = {}
         for key, q in state.conditions.items():
-            new_conds[key] = push(q, frame_conds.get(key))
+            new = frame_conds.get(key)
+            pushed = push(q, new)
+            if (
+                key in _TEXT_KEYS and interval > 1
+                and new is not None and hasattr(q, "ndim") and q.ndim >= 2
+            ):
+                # Carry the previous tail text forward between refreshes.
+                held = push(q, q[:, -1:])
+                pushed = jnp.where(refresh, pushed, held)
+            new_conds[key] = pushed
+
+        uncond_text = state.uncond_text
+        new_uncond = {
+            k: frame_batch[f"uncond_{k}"]
+            for k in _TEXT_KEYS if f"uncond_{k}" in frame_batch
+        }
+        if new_uncond:
+            uncond_text = dict(uncond_text or {}, **new_uncond)
         return state.replace(
             conditions=new_conds,
             frames_received=state.frames_received + 1,
+            uncond_text=uncond_text,
         )
 
     def step_stream(self, params, state: StreamingState):
@@ -111,13 +147,43 @@ class StreamingCTSDPipeline(CTSDPipeline):
 
         conds = dict(state.conditions)
         if do_cfg:
+            # Per-key unconditional branch, mirroring the reference's
+            # get_conditions(do_classifier_free_guidance=True) — zeros for
+            # fps/camera ids would be out-of-distribution
+            # (reference ctsd.py:310-349,186-253):
+            #   * layout images → uncondition_image_color fill
+            #   * added_time_ids → passthrough, action ids set to -1000
+            #   * text → provided uncond embeddings (else zeros)
+            #   * camera geometry → passthrough
+            uncond_color = self.common_config.get(
+                "uncondition_image_color", 0.0
+            )
+            added_mode = self.common_config.get("added_time_ids")
+            uncond_text = state.uncond_text or {}
             cfg_conds = {}
             for k, q in conds.items():
-                if hasattr(q, "ndim"):
-                    uncond = jnp.zeros_like(q)
-                    cfg_conds[k] = jnp.concatenate([uncond, q], 0)
-                else:
+                if not hasattr(q, "ndim"):
                     cfg_conds[k] = q
+                    continue
+                if k == "condition_image_tensor":
+                    uncond = jnp.full_like(q, uncond_color)
+                elif k == "added_time_ids":
+                    if added_mode == "fps_camera_transforms_action":
+                        uncond = jnp.concatenate(
+                            [q[..., :-2],
+                             jnp.full_like(q[..., -2:], -1000.0)], -1
+                        )
+                    else:
+                        uncond = q
+                elif k in _TEXT_KEYS:
+                    u = uncond_text.get(k)
+                    uncond = (
+                        jnp.broadcast_to(u.astype(q.dtype), q.shape)
+                        if u is not None else jnp.zeros_like(q)
+                    )
+                else:
+                    uncond = q
+                cfg_conds[k] = jnp.concatenate([uncond, q], 0)
             conds = cfg_conds
         # disable flags sized for the (possibly doubled) batch
         bb = 2 * b if do_cfg else b

@@ -276,16 +276,21 @@ class MaskGITPipeline:
 
     # -- inference ---------------------------------------------------------------
 
-    def inference_pipeline(
-        self,
-        params,
-        batch: dict,
-        rng: jax.Array,
-        task_type: str = "generation",
-        num_reference_frame: int = 3,
-    ) -> dict:
-        """Iterative unmasking decode. Returns dict with gt/pred/vq voxels
-        (binary) and code indices."""
+    def _lookup_codes(self, ids):
+        quantizer = self.vq.vector_quantizer
+        vq_codes_params = self.vq_params["params"]["vector_quantizer"]
+        return quantizer.apply(
+            {"params": vq_codes_params}, ids, method=quantizer.lookup
+        )
+
+    def _iterative_decode(
+        self, params, code_dtype, init_idx, ctx, rng, b, t
+    ):
+        """T-step iterative unmasking over one window (reference
+        lidar_maskgit.py:1023-1155 inner loop, shared by the single-window
+        and autoregressive paths). ``init_idx`` (n, l) carries -1 at masked
+        positions; known positions are pinned for the whole schedule.
+        Returns (x_final, idx_final)."""
         ic = self.inference_config
         T = ic.get("sample_steps", self.common_config.get("T", 20))
         use_blank = ic.get("use_blank_code", True) and len(self.blank_code)
@@ -294,34 +299,9 @@ class MaskGITPipeline:
         guidance = ic.get("guidance_scale", 3.0)
         choice_temperature = 2.0
 
-        points = batch["lidar_points"]
-        pmask = batch["lidar_points_mask"]
-        b, t = points.shape[:2]
-        voxels, code, code_indices = self.tokenize(points, pmask)
-        n, l = code_indices.shape
-
-        if task_type == "prediction":
-            frame_idx = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
-            is_ref = (frame_idx < num_reference_frame).reshape(n)[:, None]
-            init_idx = jnp.where(
-                is_ref, code_indices, -jnp.ones_like(code_indices)
-            )
-        else:
-            init_idx = -jnp.ones_like(code_indices)
-
-        ctx = get_maskgit_conditions(
-            batch, do_classifier_free_guidance=do_cfg
-        )
         num_unknown = jnp.sum(init_idx == -1, -1)
         mask_token = params["params"]["mask_token"]
         blank = jnp.asarray(self.blank_code, jnp.int32) if use_blank else None
-
-        vq_codes_params = self.vq_params["params"]["vector_quantizer"]
-        quantizer = self.vq.vector_quantizer
-
-        def lookup(ids):
-            return quantizer.apply({"params": vq_codes_params}, ids,
-                                   method=quantizer.lookup)
 
         def body(carry, step):
             x, code_idx, key = carry
@@ -367,9 +347,14 @@ class MaskGITPipeline:
             cutoff = jnp.take_along_axis(
                 jnp.sort(conf, -1), mask_len[:, None], -1
             )
-            remask = conf < cutoff
+            # Positions known at window start (reference frames / pinned
+            # tokens) are never re-masked — the reference zeroes the mask on
+            # reference rows (lidar_maskgit.py:986 mask[reference_frame_mask]
+            # = False); without this, fully-known rows would still re-mask
+            # one token through the mask_len >= 1 clamp.
+            remask = (conf < cutoff) & (init_idx == -1)
 
-            new_x = lookup(sample_ids)
+            new_x = self._lookup_codes(sample_ids)
             is_last = step == T - 1
             new_code_idx = jnp.where(
                 ~is_last & remask, -1, sample_ids
@@ -383,11 +368,47 @@ class MaskGITPipeline:
 
         x0 = jnp.where(
             (init_idx == -1)[..., None],
-            mask_token.astype(code.dtype),
-            lookup(jnp.maximum(init_idx, 0)),
+            mask_token.astype(code_dtype),
+            self._lookup_codes(jnp.maximum(init_idx, 0)),
         )
         (x_final, idx_final, _), _ = jax.lax.scan(
             body, (x0, init_idx, rng), jnp.arange(T)
+        )
+        return x_final, idx_final
+
+    def inference_pipeline(
+        self,
+        params,
+        batch: dict,
+        rng: jax.Array,
+        task_type: str = "generation",
+        num_reference_frame: int = 3,
+    ) -> dict:
+        """Iterative unmasking decode. Returns dict with gt/pred/vq voxels
+        (binary) and code indices."""
+        do_cfg = self.inference_config.get(
+            "do_classifier_free_guidance", False
+        )
+        points = batch["lidar_points"]
+        pmask = batch["lidar_points_mask"]
+        b, t = points.shape[:2]
+        voxels, code, code_indices = self.tokenize(points, pmask)
+        n, l = code_indices.shape
+
+        if task_type == "prediction":
+            frame_idx = jnp.broadcast_to(jnp.arange(t)[None], (b, t))
+            is_ref = (frame_idx < num_reference_frame).reshape(n)[:, None]
+            init_idx = jnp.where(
+                is_ref, code_indices, -jnp.ones_like(code_indices)
+            )
+        else:
+            init_idx = -jnp.ones_like(code_indices)
+
+        ctx = get_maskgit_conditions(
+            batch, do_classifier_free_guidance=do_cfg
+        )
+        x_final, idx_final = self._iterative_decode(
+            params, code.dtype, init_idx, ctx, rng, b, t
         )
 
         dec_params = {"params": self.vq_params["params"]["lidar_decoder"]}
@@ -396,6 +417,207 @@ class MaskGITPipeline:
             rng, dec_params, pred_logits, code, voxels, idx_final, b, t,
             task_type,
         )
+
+    def autoregressive_inference_pipeline(
+        self,
+        params,
+        batch: dict,
+        rng: jax.Array,
+        num_reference_frame: Optional[int] = None,
+        window_frames: Optional[int] = None,
+        use_ground_truth_as_reference: bool = True,
+    ) -> dict:
+        """Long-horizon temporal rollout (reference lidar_maskgit.py:863-1021
+        ``autoregressive_inference_pipeline``): decode a window of
+        ``window_frames``, slide forward carrying the last
+        ``num_reference_frame`` frames' sampled codes as the next window's
+        pinned reference tokens. BEV layout context is re-sliced per window
+        by absolute frame range (tail windows pad by repeating the last
+        frame, reference :925-931).
+
+        Returns dict with pred_voxels/gt_voxels (b, total_t, D, H, W),
+        pred_points + masks, and pred_indices.
+        """
+        ic, cc, tc = (
+            self.inference_config, self.common_config, self.training_config
+        )
+        ref = num_reference_frame or cc.get("max_reference_frame", 3)
+        tw = window_frames or tc.get("num_training_frames", 8)
+        do_cfg = ic.get("do_classifier_free_guidance", False)
+
+        points = batch["lidar_points"]
+        pmask = batch["lidar_points_mask"]
+        b, total = points.shape[:2]
+        assert tw > ref, (tw, ref)
+        n_windows = max(1, -(-(total - ref) // (tw - ref)))
+
+        gt_voxels, _, all_indices = self.tokenize(points, pmask)
+        l = all_indices.shape[-1]
+        all_indices = all_indices.reshape(b, total, l)
+
+        def window_conditions(start: int, end: int):
+            wb = {}
+            for key in ("3dbox_bev_images", "hdmap_bev_images"):
+                if key in batch and batch[key] is not None:
+                    x = batch[key]
+                    if x.ndim == 4:  # flattened (b*total, H, W, C)
+                        x = x.reshape((b, total) + x.shape[1:])
+                    x = x[:, start:end]
+                    if end - start < tw:
+                        pad = jnp.repeat(
+                            x[:, -1:], tw - (end - start), axis=1
+                        )
+                        x = jnp.concatenate([x, pad], 1)
+                    wb[key] = x.reshape((b * tw,) + x.shape[2:])
+            return get_maskgit_conditions(
+                wb, do_classifier_free_guidance=do_cfg,
+                uncond_color=cc.get("uncondition_image_color", 0.0),
+            )
+
+        frame_row = jnp.arange(tw)[None, :, None]  # (1, tw, 1)
+        is_ref_row = jnp.broadcast_to(
+            frame_row < ref, (b, tw, l)
+        ).reshape(b * tw, l)
+
+        if use_ground_truth_as_reference:
+            ref_ids = all_indices[:, :ref]  # (b, ref, l)
+        else:
+            ref_ids = None
+
+        mask_dtype = jnp.float32
+        outputs_vox = []
+        outputs_idx = []
+        for w in range(n_windows):
+            rng, k_win = jax.random.split(rng)
+            start = w * (tw - ref)
+            end = min(start + tw, total)
+            ctx = window_conditions(start, end)
+
+            if ref_ids is None:
+                init_idx = -jnp.ones((b * tw, l), jnp.int32)
+            else:
+                padded = jnp.concatenate(
+                    [ref_ids,
+                     -jnp.ones((b, tw - ref, l), ref_ids.dtype)], axis=1
+                ).reshape(b * tw, l)
+                init_idx = jnp.where(is_ref_row, padded, -1)
+
+            x_final, idx_final = self._iterative_decode(
+                params, mask_dtype, init_idx, ctx, k_win, b, tw
+            )
+
+            dec_params = {
+                "params": self.vq_params["params"]["lidar_decoder"]
+            }
+            _, logits = self.vq.lidar_decoder.apply(dec_params, x_final)
+            rng, k_vox = jax.random.split(rng)
+            vox = gumbel_sigmoid(k_vox, logits)
+            vox = vox.reshape((b, tw) + vox.shape[1:])
+            ids = idx_final.reshape(b, tw, l)
+
+            crop = 0 if w == 0 else ref
+            outputs_vox.append(vox[:, crop:])
+            outputs_idx.append(ids[:, crop:])
+            # next window's reference = this window's tail samples
+            ref_ids = ids[:, -ref:]
+
+        pred_voxels = jnp.concatenate(outputs_vox, 1)[:, :total]
+        pred_indices = jnp.concatenate(outputs_idx, 1)[:, :total]
+        from opendwm_tpu.ops.voxelize import voxels_to_points
+
+        pred_points, pred_points_mask = voxels_to_points(
+            pred_voxels, self.vq.voxelizer
+        )
+        return {
+            "gt_voxels": gt_voxels,
+            "pred_voxels": pred_voxels,
+            "pred_indices": pred_indices,
+            "pred_points": pred_points,
+            "pred_points_mask": pred_points_mask,
+            "task_type": "autoregressive_prediction",
+        }
+
+    def save_results(
+        self,
+        results: dict,
+        batch: dict,
+        output_path: str,
+        suffix: str = "0",
+    ) -> list:
+        """Export generation results (reference save_results :714-860):
+        BEV preview PNGs per sequence, optional predicted / GT point dumps
+        as float32 ``.bin`` files padded to 5 columns (nuScenes LiDAR
+        layout). Paths derive from ``batch['sample_data']`` filenames when
+        present, else ``{batch}_{frame}.bin`` indices."""
+        import os
+
+        from opendwm_tpu.utils.preview import (
+            make_lidar_bev_preview,
+            save_tensor_to_image,
+        )
+
+        ic = self.inference_config
+        written = []
+        gt = np.asarray(results["gt_voxels"])
+        pred = np.asarray(results["pred_voxels"])
+        b, t = pred.shape[:2]
+
+        def frame_name(bi, ti, ext):
+            sd = batch.get("sample_data")
+            if sd is not None:
+                try:
+                    name = sd[bi][ti]["filename"]
+                    name = os.path.basename(
+                        name[0] if isinstance(name, list) else name
+                    )
+                    return os.path.splitext(name)[0] + ext
+                except (KeyError, IndexError, TypeError):
+                    pass
+            return f"{bi:02d}_{ti:03d}{ext}"
+
+        if ic.get("save_preview", True):
+            out_dir = os.path.join(output_path, f"pred_voxel_{suffix}_preview")
+            os.makedirs(out_dir, exist_ok=True)
+            for bi in range(b):
+                # (t, H, 2W, 3): GT | prediction per frame, frames stacked
+                # vertically into one PNG per sequence.
+                frames = make_lidar_bev_preview([gt[bi], pred[bi]])
+                grid = frames.reshape(-1, *frames.shape[2:])
+                path = os.path.join(out_dir, frame_name(bi, 0, ".png"))
+                save_tensor_to_image(path, grid)
+                written.append(path)
+
+        def dump_points(key_pts, key_mask, dirname):
+            pts = np.asarray(results[key_pts])
+            msk = np.asarray(results[key_mask])
+            out_dir = os.path.join(output_path, dirname)
+            os.makedirs(out_dir, exist_ok=True)
+            for bi in range(b):
+                for ti in range(t):
+                    p = pts[bi, ti][msk[bi, ti]]
+                    padded = np.concatenate(
+                        [p.astype(np.float32),
+                         np.zeros((p.shape[0], 2), np.float32)], axis=-1
+                    )
+                    path = os.path.join(out_dir, frame_name(bi, ti, ".bin"))
+                    with open(path, "wb") as f:
+                        f.write(padded.tobytes())
+                    written.append(path)
+
+        if ic.get("save_pred_results", False):
+            dump_points(
+                "pred_points", "pred_points_mask",
+                f"pred_voxel_{suffix}_samples",
+            )
+        if ic.get("save_gt_results", False) and "gt_voxels" in results:
+            from opendwm_tpu.ops.voxelize import voxels_to_points
+
+            gp, gm = voxels_to_points(
+                jnp.asarray(gt), self.vq.voxelizer
+            )
+            results = dict(results, gt_points=gp, gt_points_mask=gm)
+            dump_points("gt_points", "gt_points_mask", f"gt_{suffix}_samples")
+        return written
 
     def evaluate_pipeline(
         self,

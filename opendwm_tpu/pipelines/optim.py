@@ -114,6 +114,30 @@ def build_optimizer(
     clip = tc.get("max_norm_for_grad_clip")
     if clip:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    pattern = tc.get("freezing_pattern")
+    if pattern:
+        # Warmup-stage freezing (reference ctsd.py:1014-1022 freezes modules
+        # whose name matches the regex): masked transform — frozen leaves
+        # receive zero updates, and no optimizer state is allocated for them.
+        import re
+
+        import jax
+
+        rx = re.compile(pattern)
+
+        def labels_fn(params):
+            def label(path, _):
+                name = ".".join(
+                    str(getattr(k, "key", getattr(k, "idx", k)))
+                    for k in path
+                )
+                return "frozen" if rx.match(name) else "train"
+
+            return jax.tree_util.tree_map_with_path(label, params)
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels_fn
+        )
     accum = tc.get("gradient_accumulation_steps")
     if accum and accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum)

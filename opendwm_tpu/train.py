@@ -43,17 +43,49 @@ def create_parser():
     parser.add_argument("--evaluation-steps", type=int, default=0)
     parser.add_argument("--checkpointing-steps", type=int, default=0)
     parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument(
+        "--profile-steps", type=str, default=None,
+        help="START:COUNT — capture a jax.profiler device trace for COUNT "
+             "steps starting at START, written to {output}/profile",
+    )
+    parser.add_argument("--wandb", type=str, default=None,
+                        help="W&B project name (optional)")
     return parser
 
 
 class JsonlLogger:
-    """stdout + {output}/log/events.jsonl (the reference's TensorBoard
-    scalars become structured JSONL; TensorBoard hookup is optional)."""
+    """stdout + {output}/log/events.jsonl + TensorBoard scalars.
 
-    def __init__(self, output_path: str):
+    Observability parity with the reference: TensorBoard SummaryWriter at
+    ``{output}/log`` (reference ctsd.py:1084-1086) and optional Weights &
+    Biases (reference train.py:87-89); both are soft dependencies — JSONL
+    is always written.
+    """
+
+    def __init__(
+        self, output_path: str, tensorboard: bool = True,
+        wandb_project: Optional[str] = None,
+    ):
         self.dir = os.path.join(output_path, "log")
         os.makedirs(self.dir, exist_ok=True)
         self.f = open(os.path.join(self.dir, "events.jsonl"), "a")
+        self.tb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(self.dir)
+            except Exception:
+                self.tb = None
+        self.wandb = None
+        if wandb_project:
+            try:
+                import wandb
+
+                wandb.init(project=wandb_project, dir=self.dir)
+                self.wandb = wandb
+            except Exception:
+                self.wandb = None
 
     def log(self, step: int, values: dict):
         payload = {"step": step}
@@ -64,6 +96,16 @@ class JsonlLogger:
                 payload[k] = str(v)
         self.f.write(json.dumps(payload) + "\n")
         self.f.flush()
+        if self.tb is not None:
+            for k, v in payload.items():
+                if k != "step" and isinstance(v, float):
+                    self.tb.add_scalar(k, v, step)
+            self.tb.flush()
+        if self.wandb is not None:
+            self.wandb.log(
+                {k: v for k, v in payload.items() if k != "step"},
+                step=step,
+            )
         msg = " ".join(
             f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
             for k, v in payload.items()
@@ -179,6 +221,37 @@ def main(args=None):
     else:
         loader = batch_iterator(dataset, batch_size, collate, sampler, seed)
 
+    # In-train validation evaluation (reference train.py:202-208 builds a
+    # validation dataloader and calls evaluate_pipeline at intervals).
+    validation_batches = None
+    if args.evaluation_steps and "validation_dataset" in config:
+        val_dataset = create_instance_from_config(
+            config["validation_dataset"]
+        )
+        val_dl_cfg = dict(config.get("validation_dataloader", {}))
+        val_collate = (
+            create_instance_from_config(val_dl_cfg["collate_fn"])
+            if "collate_fn" in val_dl_cfg
+            else collate
+        )
+        val_bs = val_dl_cfg.get("batch_size", batch_size)
+        n = (len(val_dataset) // val_bs) * val_bs  # even sharding
+        limit = config.get("evaluation_batches", 4) * val_bs
+        validation_batches = [
+            to_device_batch(
+                val_collate(
+                    [val_dataset[j] for j in range(i, i + val_bs)]
+                ),
+                pipeline.mesh,
+            )
+            for i in range(0, min(n, limit), val_bs)
+        ]
+    if hasattr(pipeline, "metrics") and "metrics" in config:
+        pipeline.metrics = {
+            name: create_instance_from_config(cfg)
+            for name, cfg in config["metrics"].items()
+        }
+
     first = next(loader)
     device_batch = to_device_batch(first, pipeline.mesh)
     rng, init_rng = jax.random.split(rng)
@@ -190,17 +263,35 @@ def main(args=None):
         )
         print(f"resumed from step {args.resume_from}")
 
-    logger = JsonlLogger(args.output_path)
+    logger = JsonlLogger(args.output_path, wandb_project=args.wandb)
     max_steps = args.max_steps or config.get("train_steps", 1000)
     durations: list[float] = []
     global_step = int(state.step)
 
+    profile_start, profile_count = -1, 0
+    if args.profile_steps:
+        parts = args.profile_steps.split(":")
+        profile_start = int(parts[0])
+        profile_count = int(parts[1]) if len(parts) > 1 else 3
+
+    from opendwm_tpu.utils import profiling
+
     batch = device_batch
     while global_step < max_steps:
+        if global_step == profile_start:
+            jax.profiler.start_trace(
+                os.path.join(args.output_path, "profile")
+            )
         t0 = time.time()
         rng, step_rng = jax.random.split(rng)
         state, metrics = pipeline.train_step(state, batch, step_rng)
         global_step += 1
+        if profile_start >= 0 and global_step == profile_start + profile_count:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            logger.log(global_step, dict(
+                profile_written=1.0, **profiling.device_memory_stats()
+            ))
 
         if global_step % args.log_steps == 0:
             jax.block_until_ready(metrics)
@@ -223,7 +314,22 @@ def main(args=None):
             and global_step % args.evaluation_steps == 0
             and hasattr(pipeline, "evaluate_pipeline")
         ):
-            pipeline.evaluate_pipeline(state, global_step, logger=logger)
+            import inspect
+
+            first_param = next(iter(inspect.signature(
+                pipeline.evaluate_pipeline
+            ).parameters))
+            if first_param == "params":  # lidar maskgit-style signature
+                pipeline.evaluate_pipeline(
+                    state.params, validation_batches or [],
+                    jax.random.PRNGKey(seed + global_step),
+                    global_step=global_step, logger=logger,
+                )
+            else:
+                pipeline.evaluate_pipeline(
+                    state, global_step, batches=validation_batches,
+                    logger=logger,
+                )
 
         if (
             args.preview_steps

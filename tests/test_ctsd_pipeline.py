@@ -270,3 +270,47 @@ class TestInference:
         )
         assert lat.shape == (B, total, V, H, W, C)
         assert np.isfinite(np.asarray(lat)).all()
+
+    def test_autoregressive_rollout_slices_conditions_per_window(
+        self, pipe_state
+    ):
+        # Conditions carry the FULL horizon; later windows must consume
+        # their own absolute-frame slice (reference ctsd.py:1726-1801),
+        # so changing window-2 conditions must change only later latents.
+        pipe, state, _ = pipe_state
+        total = 6  # windows at frames [0,2), [1,3), ... with stride 1
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 4)
+        long_batch = {
+            "latents": jax.random.normal(ks[0], (B, T, V, H, W, C)),
+            "encoder_hidden_states": jax.random.normal(
+                ks[1], (B, total, V, L, 24)
+            ),
+            "pooled_projections": jax.random.normal(ks[2], (B, total, V, 16)),
+            "3dbox_images": jax.random.uniform(
+                ks[3], (B, total, V, H * 8, W * 8, 3)
+            ),
+        }
+        lat_a = pipe.autoregressive_inference_pipeline(
+            state.params, long_batch, (B, T, V, H, W, C),
+            jax.random.PRNGKey(3), total_frames=total,
+            reference_frame_count=1,
+        )
+        # Perturb only the tail-frame conditions.
+        mod = dict(long_batch)
+        mod["encoder_hidden_states"] = (
+            long_batch["encoder_hidden_states"]
+            .at[:, -2:].set(
+                jax.random.normal(jax.random.PRNGKey(42), (B, 2, V, L, 24))
+            )
+        )
+        lat_b = pipe.autoregressive_inference_pipeline(
+            state.params, mod, (B, T, V, H, W, C),
+            jax.random.PRNGKey(3), total_frames=total,
+            reference_frame_count=1,
+        )
+        a, b_ = np.asarray(lat_a), np.asarray(lat_b)
+        # Early frames (windows untouched by the perturbation) identical...
+        np.testing.assert_allclose(a[:, :3], b_[:, :3], atol=1e-5)
+        # ...later frames respond to their own window's conditions.
+        assert np.abs(a[:, -1] - b_[:, -1]).max() > 1e-4

@@ -192,3 +192,45 @@ class TestMaskGIT:
             assert set(np.unique(np.asarray(out["pred_voxels"]))) <= {0.0, 1.0}
             # all positions decided after the final step
             assert (np.asarray(out["pred_indices"]) >= 0).all()
+
+    def test_autoregressive_rollout(self, setup, tmp_path):
+        # Reference autoregressive_inference_pipeline (lidar_maskgit.py:863):
+        # decode window, carry last `ref` frames' sampled codes forward.
+        pipe, _ = setup
+        key = jax.random.PRNGKey(0)
+        total = 4  # window tw=2, ref=1 → 3 windows
+        batch = {
+            "lidar_points": jax.random.uniform(
+                key, (1, total, 24, 3), minval=-3, maxval=3
+            ),
+            "lidar_points_mask": jnp.ones((1, total, 24), bool),
+            "3dbox_bev_images": jax.random.uniform(
+                jax.random.fold_in(key, 1), (1 * total, IMG * 8, IMG * 8, 3)
+            ),
+        }
+        state = pipe.init_state(jax.random.PRNGKey(2), make_batch(key))
+        out = pipe.autoregressive_inference_pipeline(
+            state.params, batch, jax.random.PRNGKey(3),
+            num_reference_frame=1, window_frames=2,
+        )
+        assert out["pred_voxels"].shape == out["gt_voxels"].shape
+        assert out["pred_voxels"].shape[1] == total
+        assert (np.asarray(out["pred_indices"]) >= 0).all()
+        # Window 0 reference frame is the GT tokenization (pinned).
+        _, _, gt_idx = pipe.tokenize(
+            batch["lidar_points"], batch["lidar_points_mask"]
+        )
+        gt_idx = np.asarray(gt_idx).reshape(1, total, -1)
+        np.testing.assert_array_equal(
+            np.asarray(out["pred_indices"])[:, 0], gt_idx[:, 0]
+        )
+
+        # save_results exports preview PNG + point bins.
+        pipe.inference_config["save_pred_results"] = True
+        written = pipe.save_results(out, batch, str(tmp_path))
+        pipe.inference_config.pop("save_pred_results")
+        assert any(p.endswith(".png") for p in written)
+        bins = [p for p in written if p.endswith(".bin")]
+        assert len(bins) == total  # one dump per frame
+        raw = np.frombuffer(open(bins[0], "rb").read(), np.float32)
+        assert raw.size % 5 == 0  # nuScenes 5-column layout

@@ -89,3 +89,28 @@ class TestBuildOptimizer:
             },
         )
         assert pipe.tx is not None
+
+
+class TestFreezingPattern:
+    def test_frozen_leaves_get_zero_updates(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from opendwm_tpu.pipelines.optim import build_optimizer
+
+        tx = build_optimizer(
+            {"lr": 1e-2},
+            {"freezing_pattern": r"^backbone\."},
+        )
+        params = {
+            "backbone": {"w": jnp.ones((4,))},
+            "head": {"w": jnp.ones((4,))},
+        }
+        grads = {
+            "backbone": {"w": jnp.full((4,), 0.5)},
+            "head": {"w": jnp.full((4,), 0.5)},
+        }
+        st = tx.init(params)
+        u, _ = tx.update(grads, st, params)
+        np.testing.assert_array_equal(np.asarray(u["backbone"]["w"]), 0.0)
+        assert np.abs(np.asarray(u["head"]["w"])).max() > 0

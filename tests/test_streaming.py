@@ -86,3 +86,93 @@ class TestStreaming:
         pipe, _, _ = pipe_state
         with pytest.raises(AssertionError):
             pipe.steps_per_inference(4)  # 6 % 4 != 0
+
+    def test_cfg_uncond_uses_provided_text_and_time_ids(self, pipe_state):
+        # The CFG unconditional branch must use the batch-provided uncond
+        # text embeddings (not zeros) and keep added_time_ids passthrough
+        # with only the action ids at -1000 (ADVICE r1; reference
+        # get_conditions CFG path).
+        pipe, train_state, batch = pipe_state
+        cond_template = {
+            "encoder_hidden_states": batch["encoder_hidden_states"],
+            "pooled_projections": batch["pooled_projections"],
+        }
+        uncond = {
+            "encoder_hidden_states": jax.random.normal(
+                jax.random.PRNGKey(77), (B, 1, V, 4, 24)
+            ),
+        }
+        s0 = pipe.reset_streaming(
+            (B, T, V, H, W, C), cond_template, jax.random.PRNGKey(5),
+            uncond_text=uncond,
+        )
+        s1 = pipe.reset_streaming(
+            (B, T, V, H, W, C), cond_template, jax.random.PRNGKey(5)
+        )
+        fb = frame_batch(jax.random.PRNGKey(9))
+        s0 = pipe.send_frame_condition(s0, fb)
+        s1 = pipe.send_frame_condition(s1, fb)
+        _, out0, _ = pipe.step_stream(train_state.params, s0)
+        _, out1, _ = pipe.step_stream(train_state.params, s1)
+        # Different uncond text → different CFG output.
+        assert np.abs(np.asarray(out0) - np.asarray(out1)).max() > 1e-6
+
+    def test_uncond_text_picked_up_from_frame_batch(self, pipe_state):
+        pipe, _, batch = pipe_state
+        cond_template = {
+            "encoder_hidden_states": batch["encoder_hidden_states"],
+        }
+        s = pipe.reset_streaming(
+            (B, T, V, H, W, C), cond_template, jax.random.PRNGKey(5)
+        )
+        fb = frame_batch(jax.random.PRNGKey(9))
+        fb["uncond_encoder_hidden_states"] = jnp.ones((B, 1, V, 4, 24))
+        s = pipe.send_frame_condition(s, fb)
+        assert s.uncond_text is not None
+        assert "encoder_hidden_states" in s.uncond_text
+
+    def test_text_prompt_interval_holds_text_between_refreshes(self):
+        model = DiTCrossviewTemporal(
+            patch_size=2, num_layers=1, attention_head_dim=8,
+            num_attention_heads=2, in_channels=C, out_channels=C,
+            joint_attention_dim=24, caption_projection_dim=16,
+            pooled_projection_dim=16, pos_embed_max_size=16, sample_size=8,
+            dual_attention_layers=(), enable_crossview=False,
+            enable_temporal=False,
+        )
+        pipe = StreamingCTSDPipeline(
+            model=model,
+            train_scheduler=FlowMatchEulerScheduler(),
+            test_scheduler=FlowMatchEulerScheduler(),
+            inference_config={"inference_steps": 6,
+                              "text_prompt_interval": 2},
+            mesh=make_mesh(MeshSpec(dp=8, fsdp=1)),
+            sharding_policy="ddp",
+        )
+        cond_template = {
+            "encoder_hidden_states": jnp.zeros((B, T, V, 4, 24)),
+        }
+        s = pipe.reset_streaming(
+            (B, T, V, H, W, C), cond_template, jax.random.PRNGKey(5)
+        )
+        # frame 0: refresh (0 % 2 == 0) → new text lands at the tail
+        fb0 = frame_batch(jax.random.PRNGKey(1))
+        s = pipe.send_frame_condition(s, fb0)
+        np.testing.assert_allclose(
+            np.asarray(s.conditions["encoder_hidden_states"][:, -1]),
+            np.asarray(fb0["encoder_hidden_states"][:, 0]),
+        )
+        # frame 1: held (1 % 2 != 0) → tail repeats the previous text
+        fb1 = frame_batch(jax.random.PRNGKey(2))
+        s = pipe.send_frame_condition(s, fb1)
+        np.testing.assert_allclose(
+            np.asarray(s.conditions["encoder_hidden_states"][:, -1]),
+            np.asarray(fb0["encoder_hidden_states"][:, 0]),
+        )
+        # frame 2: refresh again → new text lands
+        fb2 = frame_batch(jax.random.PRNGKey(3))
+        s = pipe.send_frame_condition(s, fb2)
+        np.testing.assert_allclose(
+            np.asarray(s.conditions["encoder_hidden_states"][:, -1]),
+            np.asarray(fb2["encoder_hidden_states"][:, 0]),
+        )
