@@ -180,6 +180,11 @@ class Attention(nn.Module):
     joint: bool = False
     dtype: Dtype = jnp.float32
     backend: Optional[str] = None
+    # Sequence-parallel ring attention over a mesh axis (set when the model
+    # runs inside shard_map with tokens replicated over this axis; the
+    # reference's enable_sequence_parallelism flag is dead —
+    # mask_layers.py:113 — this is the working TPU-native version).
+    sp_axis: Optional[str] = None
 
     def _heads(self, x):
         b, s, _ = x.shape
@@ -220,7 +225,16 @@ class Attention(nn.Module):
             k = jnp.concatenate([k, ck], axis=1)
             v = jnp.concatenate([v, cv], axis=1)
 
-        out = dot_product_attention(q, k, v, bias=mask, backend=self.backend)
+        if self.sp_axis is not None and mask is None:
+            from opendwm_tpu.ops.ring_attention import (
+                ring_attention_replicated,
+            )
+
+            out = ring_attention_replicated(q, k, v, self.sp_axis)
+        else:
+            out = dot_product_attention(
+                q, k, v, bias=mask, backend=self.backend
+            )
         out = out.reshape(out.shape[0], out.shape[1], inner)
 
         if self.joint and context is not None:

@@ -87,6 +87,7 @@ class JointTransformerBlock(nn.Module):
     dual_attention: bool = False
     context_pre_only: bool = False
     dtype: Dtype = jnp.float32
+    sp_axis: Optional[str] = None  # ring-shard the joint attention
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array, temb: jax.Array):
@@ -117,7 +118,7 @@ class JointTransformerBlock(nn.Module):
         attn_out, ctx_attn_out = Attention(
             heads=self.heads, head_dim=self.head_dim, qk_norm=self.qk_norm,
             joint=True, context_pre_only=self.context_pre_only,
-            dtype=self.dtype, name="attn",
+            dtype=self.dtype, sp_axis=self.sp_axis, name="attn",
         )(norm_x, context=norm_ctx)
         x = x + gate_msa * attn_out
 
@@ -259,6 +260,10 @@ class DiTCrossviewTemporal(nn.Module):
     temporal_gradient_checkpointing: bool = False
     dtype: Any = jnp.float32
     attention_backend: Optional[str] = None
+    # Ring-shard the joint attention over this mesh axis (requires running
+    # inside shard_map with tokens replicated over the axis; see
+    # ops/ring_attention.ring_attention_replicated).
+    sequence_parallel_axis: Optional[str] = None
 
     @property
     def inner_dim(self) -> int:
@@ -454,7 +459,8 @@ class DiTCrossviewTemporal(nn.Module):
                 heads=heads, head_dim=head_dim, qk_norm=self.qk_norm,
                 dual_attention=i in self.dual_attention_layers,
                 context_pre_only=i == self.num_layers - 1,
-                dtype=compute, name=f"transformer_blocks_{i}",
+                dtype=compute, sp_axis=self.sequence_parallel_axis,
+                name=f"transformer_blocks_{i}",
             )
             x, ctx = block(x, ctx, temb)
 

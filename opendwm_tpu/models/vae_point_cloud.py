@@ -22,7 +22,11 @@ from opendwm_tpu.ops.voxelize import Voxelizer
 
 
 @register(
-    "VAEPointCloud", aliases=("dwm.models.vae_point_cloud.VAEPointCloud",)
+    "VAEPointCloud",
+    aliases=(
+        "dwm.models.vae_point_cloud.VAEPointCloud",
+        "dwm.models.lidar_vae_model.VAEPointCloud",
+    ),
 )
 class VAEPointCloud(nn.Module):
     voxelizer: Voxelizer

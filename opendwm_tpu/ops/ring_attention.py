@@ -73,6 +73,39 @@ def _ring_attention_local(q, k, v, *, axis_name: str, scale: float):
     return out.astype(q.dtype)
 
 
+def ring_attention_replicated(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    axis_name: str,
+    scale: float | None = None,
+) -> jax.Array:
+    """Sequence-parallel attention INSIDE an enclosing ``shard_map`` where
+    q/k/v arrive replicated over ``axis_name``.
+
+    Each ring member takes its sequence slice of q/k/v, the k/v shards
+    rotate around the ring with the online-softmax accumulator
+    (:func:`_ring_attention_local`), and the outputs all-gather back to the
+    replicated layout — attention FLOPs split 1/size per device, k/v
+    traffic rides the ICI ring. seq must divide by the axis size.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    seq = q.shape[1]
+    assert seq % n == 0, (seq, n)
+    local = seq // n
+
+    def sl(x):
+        return jax.lax.dynamic_slice_in_dim(x, idx * local, local, 1)
+
+    out_local = _ring_attention_local(
+        sl(q), sl(k), sl(v), axis_name=axis_name, scale=scale
+    )
+    return jax.lax.all_gather(out_local, axis_name, axis=1, tiled=True)
+
+
 def ring_attention_sharded(
     q: jax.Array,
     k: jax.Array,

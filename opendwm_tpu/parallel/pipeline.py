@@ -45,6 +45,7 @@ def pipeline_apply(
     axis: str = "pp",
     microbatches: int,
     conds: tuple = (),
+    batch_axis: str | None = None,
 ):
     """Run ``x`` through P pipeline stages of ``block_fn``.
 
@@ -59,14 +60,21 @@ def pipeline_apply(
       microbatches: number of microbatches M (>= P for good utilization).
       conds: extra per-sample conditioning arrays ``(batch, ...)`` passed
         to every stage (split into the matching microbatch).
+      batch_axis: optional mesh axis sharding the batch dim of x/conds
+        (data parallelism composed with the pipeline; the microbatch count
+        then applies to the per-shard batch).
 
     Returns:
-      ``(batch, ...)`` output, replicated over ``axis``.
+      ``(batch, ...)`` output, replicated over ``axis`` (sharded over
+      ``batch_axis`` when given).
     """
     n_stages = mesh.shape[axis]
     m = microbatches
-    if x.shape[0] % m:
-        raise ValueError(f"batch {x.shape[0]} not divisible by {m}.")
+    local_batch = x.shape[0]
+    if batch_axis is not None:
+        local_batch //= mesh.shape[batch_axis]
+    if local_batch % m:
+        raise ValueError(f"batch {local_batch} not divisible by {m}.")
 
     def spmd(params, x, *conds):
         params = jax.tree.map(lambda a: a[0], params)  # local stage slice
@@ -112,15 +120,15 @@ def pipeline_apply(
         )
         return outs.reshape(x.shape)
 
-    rep = P()  # replicated
+    data = P(batch_axis) if batch_axis is not None else P()
     return jax.shard_map(
         spmd,
         mesh=mesh,
         in_specs=(
             jax.tree.map(lambda _: P(axis), stacked_params),
-            rep,
-            *([rep] * len(conds)),
+            data,
+            *([data] * len(conds)),
         ),
-        out_specs=rep,
+        out_specs=data,
         check_vma=False,
     )(stacked_params, x, *conds)

@@ -242,7 +242,16 @@ def get_conditions(
         conds["camera_transforms"] = ct
 
     # ---- crossview/temporal switches ----------------------------------------
-    b = next(iter(batch.values())).shape[0]
+    # Batch size from a canonical (b, t, ...) key — NOT the dict's first
+    # value: jit reconstructs dicts in sorted-key order, so auxiliary keys
+    # (e.g. flattened (b*t, ...) BEV rasters) could lead the iteration.
+    for key in ("latents", "vae_images", "encoder_hidden_states",
+                "pooled_projections", "camera_transforms", "fps"):
+        if key in batch and hasattr(batch[key], "shape"):
+            b = batch[key].shape[0]
+            break
+    else:
+        b = next(iter(batch.values())).shape[0]
     bb = 2 * b if do_classifier_free_guidance else b
     conds["disable_crossview"] = jnp.full(
         (bb,), common_config.get("disable_crossview", False)

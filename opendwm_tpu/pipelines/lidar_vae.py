@@ -26,7 +26,8 @@ from opendwm_tpu.pipelines.lidar_vqvae import stable_bce_with_logits
 class LidarVAE:
     def __init__(
         self,
-        vae_point_cloud,
+        vae_point_cloud=None,
+        lidar_vae=None,  # reference config key (configs/lidar/lidar_vae_*)
         common_config: Optional[dict] = None,
         training_config: Optional[dict] = None,
         optimizer_config: Optional[dict] = None,
@@ -35,7 +36,9 @@ class LidarVAE:
         sharding_policy: str = "ddp",
         sharding_min_size: int = sharding_lib.MIN_SHARD_SIZE,
     ):
-        self.model = vae_point_cloud
+        self.model = vae_point_cloud if vae_point_cloud is not None \
+            else lidar_vae
+        assert self.model is not None, "vae_point_cloud (or lidar_vae) required"
         self.common_config = common_config or {}
         self.training_config = training_config or {}
         self.mesh = mesh or mesh_lib.make_mesh()

@@ -40,6 +40,141 @@ def create_parser():
     return parser
 
 
+class RTSPWriter:
+    """H.264 → RTSP mux via PyAV (reference streaming.py:98-141 pushes to a
+    mediamtx server). Low-latency x264 settings; one video stream."""
+
+    def __init__(self, url: str, fps: float, width: int, height: int):
+        import av
+
+        self.container = av.open(url, "w", format="rtsp")
+        self.stream = self.container.add_stream(
+            "libx264", rate=max(1, round(fps))
+        )
+        self.stream.width = width
+        self.stream.height = height
+        self.stream.pix_fmt = "yuv420p"
+        self.stream.options = {"tune": "zerolatency", "preset": "ultrafast"}
+        self._av = av
+
+    def write(self, image_uint8: np.ndarray):
+        frame = self._av.VideoFrame.from_ndarray(image_uint8, format="rgb24")
+        for packet in self.stream.encode(frame):
+            self.container.mux(packet)
+
+    def close(self):
+        for packet in self.stream.encode():
+            self.container.mux(packet)
+        self.container.close()
+
+
+class MJPEGServer:
+    """Dependency-free live stream: multipart-JPEG over HTTP (stdlib only).
+
+    The reference can only stream when PyAV + an RTSP server are present;
+    this fallback serves ``http://<host>:<port>/`` playable in any browser
+    or ffplay. Frames are pushed with :meth:`write`; each client gets the
+    most recent frame at its own pace.
+    """
+
+    def __init__(self, port: int, fps: float = 10.0):
+        import http.server
+        import threading
+
+        self._lock = threading.Condition()
+        self._frame: bytes = b""
+        self._seq = 0
+        self._fps = fps
+        server_self = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib API)
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type",
+                    "multipart/x-mixed-replace; boundary=frame",
+                )
+                self.end_headers()
+                last = -1
+                try:
+                    while True:
+                        with server_self._lock:
+                            server_self._lock.wait(1.0)
+                            if server_self._seq == last:
+                                continue
+                            buf, last = (
+                                server_self._frame, server_self._seq
+                            )
+                        self.wfile.write(
+                            b"--frame\r\nContent-Type: image/jpeg\r\n"
+                            + f"Content-Length: {len(buf)}\r\n\r\n".encode()
+                        )
+                        self.wfile.write(buf)
+                        self.wfile.write(b"\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self.httpd = http.server.ThreadingHTTPServer(("", port), Handler)
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def write(self, image_uint8: np.ndarray):
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(image_uint8).save(buf, format="JPEG", quality=85)
+        with self._lock:
+            self._frame = buf.getvalue()
+            self._seq += 1
+            self._lock.notify_all()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+class PNGWriter:
+    """Frame-per-file fallback (always available)."""
+
+    def __init__(self, output_path: str):
+        self.dir = output_path
+        os.makedirs(output_path, exist_ok=True)
+        self.idx = 0
+
+    def write(self, image_uint8: np.ndarray):
+        from PIL import Image
+
+        Image.fromarray(image_uint8).save(
+            os.path.join(self.dir, f"frame_{self.idx:06d}.png")
+        )
+        self.idx += 1
+
+    def close(self):
+        pass
+
+
+def make_writer(streaming_path, output_path, fps, width, height):
+    """Pick the stream sink: rtsp:// → PyAV mux; http://:port or
+    mjpeg://:port → stdlib MJPEG server; else numbered PNGs."""
+    if streaming_path:
+        if streaming_path.startswith("rtsp://"):
+            try:
+                return RTSPWriter(streaming_path, fps, width, height)
+            except ImportError:
+                print("PyAV unavailable; falling back to MJPEG/PNG")
+        if streaming_path.startswith(("http://", "mjpeg://")):
+            port = int(streaming_path.rsplit(":", 1)[-1].strip("/"))
+            return MJPEGServer(port, fps)
+    return PNGWriter(output_path)
+
+
 def main(args=None):
     args = args or create_parser().parse_args()
     with open(args.config_path) as f:
@@ -84,39 +219,36 @@ def main(args=None):
     state = pipeline.init_state(rng, init_batch)
     stream = pipeline.reset_streaming(latent_shape, cond_template, k_state)
 
-    writer = None
     os.makedirs(args.output_path, exist_ok=True)
     frame_idx = 0
+    writer = None
     try:
-        import av  # noqa: F401
-
-        have_av = args.streaming_path is not None
-    except ImportError:
-        have_av = False
-
-    while args.max_frames is None or frame_idx < args.max_frames:
-        data = to_device_batch(adapter.query_data(), pipeline.mesh)
-        stream = pipeline.send_frame_condition(stream, data)
-        stream, latent, ready = pipeline.receive_frame(state.params, stream)
-        if not bool(ready):
-            continue
-        frame = np.asarray(pipeline.decode_latents(latent))
-        if frame.shape[-1] != 3:
-            # no VAE attached: visualize the first 3 latent channels
-            frame = frame[..., :3]
-        frame = np.clip((frame + 1) / 2, 0, 1)
-        image = merge_multiview_images(frame[0])
-        if have_av:
-            raise NotImplementedError(
-                "RTSP mux wiring mirrors reference streaming.py:98-141"
+        while args.max_frames is None or frame_idx < args.max_frames:
+            data = to_device_batch(adapter.query_data(), pipeline.mesh)
+            stream = pipeline.send_frame_condition(stream, data)
+            stream, latent, ready = pipeline.receive_frame(
+                state.params, stream
             )
-        from PIL import Image
-
-        Image.fromarray((image * 255).astype(np.uint8)).save(
-            os.path.join(args.output_path, f"frame_{frame_idx:06d}.png")
-        )
-        frame_idx += 1
-        print(f"frame {frame_idx}", flush=True)
+            if not bool(ready):
+                continue
+            frame = np.asarray(pipeline.decode_latents(latent))
+            if frame.shape[-1] != 3:
+                # no VAE attached: visualize the first 3 latent channels
+                frame = frame[..., :3]
+            frame = np.clip((frame + 1) / 2, 0, 1)
+            image = merge_multiview_images(frame[0])
+            image8 = (image * 255).astype(np.uint8)
+            if writer is None:
+                writer = make_writer(
+                    args.streaming_path, args.output_path, args.fps,
+                    image8.shape[1], image8.shape[0],
+                )
+            writer.write(image8)
+            frame_idx += 1
+            print(f"frame {frame_idx}", flush=True)
+    finally:
+        if writer is not None:
+            writer.close()
 
 
 if __name__ == "__main__":

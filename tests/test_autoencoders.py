@@ -7,6 +7,9 @@ import pytest
 
 from opendwm_tpu.models.autoencoders import AutoencoderKL
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def tiny_vae():

@@ -9,6 +9,9 @@ from opendwm_tpu.models.bev_world_vae import BEVWorldVAE, bilinear_sample
 from opendwm_tpu.models.vq_point_cloud import VQDecoder, VQEncoder
 from opendwm_tpu.ops.voxelize import Voxelizer
 
+pytestmark = pytest.mark.slow
+
+
 IMG, ZC, LATENT = 16, 8, 8
 B, V = 1, 2
 

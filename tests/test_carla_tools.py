@@ -187,3 +187,73 @@ class TestControlSchedule:
         assert len(flat) == 4
         assert flat[0] == {"throttle": 0.5}
         assert flat[-1] == {"brake": 1.0}
+
+
+class TestSteeringControl:
+    def _config(self):
+        from opendwm_tpu.tools.carla_control_from_steering import (
+            parse_arg_joystick_axis_config,
+        )
+
+        return {
+            "steer": parse_arg_joystick_axis_config("0,-1,1,0"),
+            "throttle": parse_arg_joystick_axis_config("5,0,1,0"),
+            "brake": parse_arg_joystick_axis_config("1,0,1,0"),
+        }
+
+    def test_axis_mapping_and_clamp(self):
+        from opendwm_tpu.tools.carla_control_from_steering import (
+            joystick_value_to_carla,
+        )
+
+        cfg = self._config()
+        assert joystick_value_to_carla(cfg, "steer", 0.0) == 0.0
+        assert joystick_value_to_carla(cfg, "steer", -1.0) == -1.0
+        assert joystick_value_to_carla(cfg, "steer", 2.0) == 1.0  # clamp
+        assert joystick_value_to_carla(cfg, "throttle", 0.5) == 0.5
+
+    def test_controller_applies_control_and_toggles(self):
+        from opendwm_tpu.tools.carla_control_from_steering import (
+            AUTOPILOT_BUTTON,
+            REVERSE_BUTTON,
+            SteeringController,
+        )
+
+        class FakeJoystick:
+            axes = {0: 0.5, 5: 0.8, 1: 0.0}
+
+            def get_axis(self, i):
+                return self.axes[i]
+
+        class FakeControl:
+            pass
+
+        class FakeVehicle:
+            def __init__(self):
+                self.controls = []
+                self.autopilot = None
+
+            def apply_control(self, c):
+                self.controls.append(c)
+
+            def set_autopilot(self, value):
+                self.autopilot = value
+
+        vehicle = FakeVehicle()
+        ctrl = SteeringController(
+            FakeJoystick(), self._config(), vehicle, FakeControl
+        )
+        state = ctrl.poll()
+        assert state["steer"] == 0.5 and state["throttle"] == 0.8
+        assert vehicle.controls[-1].steer == 0.5
+        assert vehicle.controls[-1].reverse is False
+
+        ctrl.on_button_up(REVERSE_BUTTON)
+        ctrl.poll()
+        assert vehicle.controls[-1].reverse is True
+
+        ctrl.on_button_up(AUTOPILOT_BUTTON)
+        assert vehicle.autopilot is True
+        n = len(vehicle.controls)
+        ctrl.poll()  # autopilot on → no manual control applied
+        assert len(vehicle.controls) == n

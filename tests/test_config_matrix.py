@@ -1,0 +1,300 @@
+"""Every published config recipe is constructible and trains one step.
+
+The reference ships 45 recipe configs with no tests; here each config in
+``configs/`` is loaded, its model dims are shrunk (same architecture
+switches, tiny widths), its dataset is replaced by a synthetic batch of
+the matching canonical schema, and ONE train step runs. This keeps every
+recipe shape executable without real data (SURVEY §4 test strategy).
+"""
+
+import copy
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opendwm_tpu.config import create_instance_from_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+ALL_CONFIGS = sorted(
+    glob.glob(os.path.join(CONFIG_DIR, "**", "*.json"), recursive=True)
+)
+assert len(ALL_CONFIGS) >= 20, ALL_CONFIGS
+
+
+# ---------------------------------------------------------------------------
+# shrinking
+# ---------------------------------------------------------------------------
+
+def shrink_node(node):
+    """Recursively shrink model-config dicts in place (dims only; the
+    architecture switches — attention types, layer placement flags,
+    prediction styles — stay as published)."""
+    if isinstance(node, list):
+        for item in node:
+            shrink_node(item)
+        return node
+    if not isinstance(node, dict):
+        return node
+    # children first, so composite rules below may override child dims
+    for v in node.values():
+        shrink_node(v)
+    cls = node.get("_class_name", "")
+    if "DiTCrossviewTemporal" in cls:
+        node.update(
+            num_layers=2, attention_head_dim=8, num_attention_heads=2,
+            joint_attention_dim=16, caption_projection_dim=16,
+            pooled_projection_dim=16, pos_embed_max_size=16, sample_size=8,
+            gradient_checkpointing=False,
+            crossview_gradient_checkpointing=False,
+            temporal_gradient_checkpointing=False,
+        )
+        node["dual_attention_layers"] = [0] if node.get(
+            "dual_attention_layers") else []
+        if node.get("crossview_block_layers"):
+            node["crossview_block_layers"] = [0]
+        if node.get("temporal_block_layers"):
+            node["temporal_block_layers"] = [1]
+        node.pop("dtype", None)
+        if node.get("condition_image_adapter_config"):
+            a = node["condition_image_adapter_config"]
+            a["channels"] = [16] * len(a["channels"])
+            a["num_res_blocks"] = 1
+    elif "UNetCrossviewTemporal" in cls:
+        node.update(
+            block_out_channels=[8, 16, 16],
+            num_attention_heads=[2, 2, 2],
+            layers_per_block=1, transformer_layers_per_block=1,
+            cross_attention_dim=12,
+            gradient_checkpointing=False,
+        )
+        node.pop("dtype", None)
+        if node.get("condition_image_adapter_config"):
+            a = node["condition_image_adapter_config"]
+            a["channels"] = [8, 8, 16, 16]
+            a["is_downblocks"] = [False, True, True, False]
+            a["num_res_blocks"] = 1
+    elif cls.endswith("Voxelizer"):
+        node.update(
+            x_min=-8.0, x_max=8.0, y_min=-8.0, y_max=8.0, step=0.5,
+            z_min=-1.0, z_max=1.0, z_step=0.25,
+        )
+    elif cls.endswith("VectorQuantizer"):
+        node.update(n_e=64, e_dim=16)
+    elif cls.endswith(("VQEncoder", "VQDecoder")):
+        node.update(
+            img_size=32, patch_size=8, in_chans=8, embed_dim=16,
+            num_heads=2, depth=2, codebook_dim=16, window_size=2,
+        )
+    elif cls.endswith(("PointCloudEncoder", "PointCloudDecoder")):
+        node.update(
+            img_size=32, patch_size=8, in_chans=8, embed_dim=16,
+            num_heads=2, depth=2, latent_dim=16, window_size=2,
+        )
+    elif cls.endswith("VAEPointCloud"):
+        node.update(ray_stepsize=0.25, ray_max_steps=48, latent_dim=8)
+        # encoder emits 2*latent_dim moments; decoder consumes latent_dim
+        node["lidar_encoder"]["codebook_dim"] = 16
+        node["lidar_decoder"]["codebook_dim"] = 8
+    elif cls.endswith("VQPointCloud"):
+        node.update(ray_stepsize=0.25, ray_max_steps=48)
+    elif "BidirectionalTransformer" in cls:
+        node.update(
+            n_e=64, e_dim=16, img_size=[4, 4], hidden_dim=16, depth=2,
+            num_heads=2, window_size=2, use_extra_embedding=False,
+            enable_perturbation=False,
+        )
+        if node.get("condition_adapter_config"):
+            a = node["condition_adapter_config"]
+            a["channels"] = [16, 16]
+            a["is_downblocks"] = [False, False]
+            a["num_res_blocks"] = 1
+            # BEV raster 128² → 4² latent grid to match img_size [4,4]
+            a["downscale_factor"] = 32
+    return node
+
+
+def shrink_pipeline(cfg: dict) -> dict:
+    pipe = copy.deepcopy(cfg["pipeline"])
+    shrink_node(pipe)
+    pipe["sharding_min_size"] = 1 << 60  # replicate tiny params
+    tc = pipe.get("training_config")
+    if tc:
+        tc.pop("freezing_pattern", None)  # pattern targets full-size names
+        tc.pop("gradient_accumulation_steps", None)
+    if pipe.get("_class_name") == "LidarDiffusionPipeline":
+        # diffusion channels follow the shrunk tokenizer latent width
+        ae = pipe["autoencoder"]
+        c = (
+            ae["vector_quantizer"]["e_dim"]
+            if "vector_quantizer" in ae else ae.get("latent_dim", 8)
+        )
+        pipe["model"]["in_channels"] = c
+        pipe["model"]["out_channels"] = c
+    return pipe
+
+
+# ---------------------------------------------------------------------------
+# synthetic batches per pipeline family
+# ---------------------------------------------------------------------------
+
+def ctsd_batch(pipe_cfg, key, b=2):
+    model = pipe_cfg["model"]
+    is_unet = "UNet" in model["_class_name"]
+    c_in = model.get("in_channels", 16)
+    ctx_dim = (
+        model.get("cross_attention_dim", 12) if is_unet
+        else model.get("joint_attention_dim", 16)
+    )
+    cc = pipe_cfg.get("common_config", {})
+    t = 1 if cc.get("disable_temporal") else 2
+    v, h, w = 2, 8, 8
+    ks = jax.random.split(key, 6)
+    batch = {
+        "latents": jax.random.normal(ks[0], (b, t, v, h, w, c_in)),
+        "encoder_hidden_states": jax.random.normal(
+            ks[1], (b, t, v, 4, ctx_dim)
+        ),
+        "fps": jnp.full((b,), 2.0),
+        "camera_intrinsics": jnp.broadcast_to(
+            jnp.eye(3) * 500, (b, t, v, 3, 3)
+        ),
+        "camera_transforms": jnp.broadcast_to(jnp.eye(4), (b, t, v, 4, 4)),
+        "ego_transforms": jnp.broadcast_to(jnp.eye(4), (b, t, 7, 4, 4)),
+        "image_size": jnp.full((b, t, v, 2), 64.0),
+    }
+    if not is_unet:
+        batch["pooled_projections"] = jax.random.normal(
+            ks[2], (b, t, v, model.get("pooled_projection_dim", 16))
+        )
+    adapter = model.get("condition_image_adapter_config")
+    if adapter:
+        half = adapter["in_channels"] // 2
+        batch["3dbox_images"] = jax.random.uniform(
+            ks[3], (b, t, v, h * 8, w * 8, half)
+        )
+        batch["hdmap_images"] = jax.random.uniform(
+            ks[4], (b, t, v, h * 8, w * 8, adapter["in_channels"] - half)
+        )
+    return batch
+
+
+def lidar_batch(key, b=1, t=2, with_layout=True, bev=256):
+    ks = jax.random.split(key, 2)
+    batch = {
+        "lidar_points": jax.random.uniform(
+            ks[0], (b, t, 32, 3), minval=-3, maxval=3
+        ),
+        "lidar_points_mask": jnp.ones((b, t, 32), bool),
+    }
+    if with_layout:
+        batch["3dbox_bev_images"] = jax.random.uniform(
+            ks[1], (b * t, bev, bev, 3)
+        )
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# per-family drivers: construct pipeline, one train step (or stream step)
+# ---------------------------------------------------------------------------
+
+def drive_ctsd(pipe_cfg, streaming=False):
+    pipe = create_instance_from_config(pipe_cfg)
+    batch = ctsd_batch(pipe_cfg, jax.random.PRNGKey(0))
+    if streaming:
+        from opendwm_tpu.pipelines.ctsd import get_conditions
+
+        t = batch["latents"].shape[1]
+        state = pipe.init_state(jax.random.PRNGKey(1), batch)
+        conds = get_conditions(batch, pipe.common_config)
+        cond_template = {
+            k: v for k, v in conds.items()
+            if hasattr(v, "ndim") and v.ndim >= 3 and v.shape[1] == t
+        }
+        s = pipe.reset_streaming(
+            batch["latents"].shape, cond_template, jax.random.PRNGKey(2)
+        )
+        n = pipe.inference_config["inference_steps"]
+        if n % t:
+            pipe.inference_config["inference_steps"] = t * max(1, n // t)
+        s, out, _ = pipe.step_stream(state.params, s)
+        return float(jnp.mean(jnp.abs(out)))
+    state = pipe.init_state(jax.random.PRNGKey(1), batch)
+    state, metrics = pipe.train_step(state, batch, jax.random.PRNGKey(2))
+    return float(metrics["sd_loss"])
+
+
+def drive_lidar_vqvae(pipe_cfg):
+    pipe = create_instance_from_config(pipe_cfg)
+    batch = lidar_batch(jax.random.PRNGKey(0), with_layout=False)
+    state = pipe.init_state(jax.random.PRNGKey(1), batch)
+    state, metrics = pipe.train_step(state, batch, jax.random.PRNGKey(2))
+    return float(metrics["loss"])
+
+
+def drive_lidar_vae(pipe_cfg):
+    pipe = create_instance_from_config(pipe_cfg)
+    batch = lidar_batch(jax.random.PRNGKey(0), with_layout=False)
+    state = pipe.init_state(jax.random.PRNGKey(1), batch)
+    state, metrics = pipe.train_step(state, batch, jax.random.PRNGKey(2))
+    return float(metrics["loss"])
+
+
+def drive_maskgit(pipe_cfg):
+    pipe = create_instance_from_config(pipe_cfg)
+    batch = lidar_batch(jax.random.PRNGKey(0), bev=128)
+    vq_params = pipe.vq.init(
+        jax.random.PRNGKey(1), batch["lidar_points"],
+        batch["lidar_points_mask"], render_rays=False,
+    )
+    pipe.load_vq_params(vq_params)
+    pipe.blank_code = (0,)
+    state = pipe.init_state(jax.random.PRNGKey(2), batch)
+    state, metrics = pipe.train_step(state, batch, jax.random.PRNGKey(3))
+    return float(metrics["ce_loss"])
+
+
+def drive_lidar_diffusion(pipe_cfg):
+    pipe = create_instance_from_config(pipe_cfg)
+    batch = lidar_batch(jax.random.PRNGKey(0), bev=128)
+    ae_params = pipe.autoencoder.init(
+        jax.random.PRNGKey(1), batch["lidar_points"],
+        batch["lidar_points_mask"], render_rays=False,
+    )
+    pipe.load_autoencoder_params(ae_params)
+    state = pipe.init_state(jax.random.PRNGKey(2), batch)
+    state, metrics = pipe.train_step(state, batch, jax.random.PRNGKey(3))
+    return float(metrics["sd_loss"])
+
+
+DRIVERS = {
+    "CTSDPipeline": drive_ctsd,
+    "dwm.pipelines.ctsd.CrossviewTemporalSD": drive_ctsd,
+    "StreamingCTSDPipeline": lambda cfg: drive_ctsd(cfg, streaming=True),
+    "Unimlvg": drive_ctsd,
+    "dwm.pipelines.unimlvg.Unimlvg": drive_ctsd,
+    "LidarCodebook": drive_lidar_vqvae,
+    "LidarVAE": drive_lidar_vae,
+    "MaskGITPipeline": drive_maskgit,
+    "LidarDiffusionPipeline": drive_lidar_diffusion,
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "path", ALL_CONFIGS,
+    ids=[os.path.relpath(p, CONFIG_DIR) for p in ALL_CONFIGS],
+)
+def test_config_recipe_trains_one_step(path):
+    with open(path) as f:
+        cfg = json.load(f)
+    pipe_cfg = shrink_pipeline(cfg)
+    cls = pipe_cfg["_class_name"]
+    driver = DRIVERS.get(cls)
+    assert driver is not None, f"no smoke driver for {cls}"
+    value = driver(pipe_cfg)
+    assert np.isfinite(value), (path, value)

@@ -15,6 +15,9 @@ from opendwm_tpu.pipelines.ctsd import (
 )
 from opendwm_tpu.schedulers import DDPMScheduler, FlowMatchEulerScheduler
 
+pytestmark = pytest.mark.slow
+
+
 B, T, V, H, W, C = 2, 2, 2, 8, 8, 16
 L = 4
 

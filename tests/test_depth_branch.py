@@ -14,6 +14,9 @@ from opendwm_tpu.pipelines.depth_loss import (
 )
 from opendwm_tpu.schedulers import DDPMScheduler
 
+pytestmark = pytest.mark.slow
+
+
 B, T, V, H, W = 1, 2, 2, 16, 16
 BINS = 8
 FRUSTUM = (1.0, 17.0, 2.0)

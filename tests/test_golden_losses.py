@@ -17,6 +17,9 @@ GOLDEN = {
     "lidar_vqvae": 3.5653464794158936,
     "lidar_vae": 2.6817328929901123,
     "maskgit": 2.7305986881256104,
+    "unimlvg_pred": 1.1626403331756592,
+    "lidar_diffusion": 0.06897011399269104,
+    "streaming_step": 0.8440236449241638,
 }
 
 
@@ -101,3 +104,38 @@ class TestGoldenLosses:
         state = pipe.init_state(jax.random.PRNGKey(1), batch)
         _, metrics = pipe.train_step(state, batch, jax.random.PRNGKey(2))
         _check("maskgit", metrics["ce_loss"])
+
+    def test_unimlvg_first_loss(self):
+        from test_unimlvg_maskgwm import make_batch, make_pipe
+
+        pipe = make_pipe("pred")
+        batch = make_batch(jax.random.PRNGKey(0), b=8)
+        state = pipe.init_state(jax.random.PRNGKey(1), batch)
+        _, metrics = pipe.train_step(state, batch, jax.random.PRNGKey(2))
+        _check("unimlvg_pred", metrics["diffusion_loss"])
+
+    def test_lidar_diffusion_first_loss(self):
+        import test_lidar_diffusion as tld
+
+        pipe, batch = tld.pipe_and_batch.__wrapped__()
+        state = pipe.init_state(jax.random.PRNGKey(1), batch)
+        _, metrics = pipe.train_step(state, batch, jax.random.PRNGKey(2))
+        _check("lidar_diffusion", metrics["sd_loss"])
+
+    def test_streaming_step_golden(self):
+        # Streaming emits latents, not a loss: pin the mean |output| of one
+        # FIFO step on fixed seeds (drift guard for the CFG/queue path).
+        import numpy as np
+        from test_streaming import B, C, H, T, V, W, frame_batch, pipe_state
+
+        pipe, train_state, batch = pipe_state.__wrapped__()
+        cond_template = {
+            "encoder_hidden_states": batch["encoder_hidden_states"],
+            "pooled_projections": batch["pooled_projections"],
+        }
+        s = pipe.reset_streaming(
+            (B, T, V, H, W, C), cond_template, jax.random.PRNGKey(5)
+        )
+        s = pipe.send_frame_condition(s, frame_batch(jax.random.PRNGKey(9)))
+        _, out, _ = pipe.step_stream(train_state.params, s)
+        _check("streaming_step", float(np.mean(np.abs(np.asarray(out)))))

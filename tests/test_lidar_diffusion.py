@@ -17,6 +17,9 @@ from opendwm_tpu.parallel import MeshSpec, make_mesh
 from opendwm_tpu.pipelines.lidar_diffusion import LidarDiffusionPipeline
 from opendwm_tpu.schedulers import FlowMatchEulerScheduler
 
+pytestmark = pytest.mark.slow
+
+
 IMG, ZC, E_DIM = 16, 8, 16
 
 

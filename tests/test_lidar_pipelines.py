@@ -23,6 +23,9 @@ from opendwm_tpu.pipelines.lidar_maskgit import (
 from opendwm_tpu.pipelines.lidar_vae import LidarVAE
 from opendwm_tpu.pipelines.lidar_vqvae import LidarCodebook
 
+pytestmark = pytest.mark.slow
+
+
 IMG, ZC = 16, 8
 N_E, E_DIM = 16, 12
 

@@ -78,3 +78,27 @@ class TestPerspectiveRenderer:
         frames = [np.random.rand(50, 3) * 10 for _ in range(2)]
         imgs = render_sequence(frames, perspective=True, width=64, height=48)
         assert len(imgs) == 2 and imgs[0].size == (64, 48)
+
+
+class TestVisualizeLidarCLI:
+    def test_cli_renders_dataset(self, tmp_path):
+        import json
+
+        from opendwm_tpu.tools.visualize_lidar import create_parser, main
+
+        cfg = {
+            "dataset": {
+                "_class_name": "SyntheticLidarDataset",
+                "size": 2, "sequence_length": 2, "point_count": 32,
+                "pc_range": 6.0, "bev_size": 64,
+            }
+        }
+        p = tmp_path / "cfg.json"
+        p.write_text(json.dumps(cfg))
+        args = create_parser().parse_args([
+            "-c", str(p), "-o", str(tmp_path / "out"),
+            "--max-items", "1", "--gif", "--image-size", "64",
+        ])
+        written = main(args)
+        names = [w.split("/")[-1] for w in written]
+        assert "0000_000.png" in names and "0000.gif" in names

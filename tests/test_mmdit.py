@@ -7,6 +7,9 @@ import pytest
 
 from opendwm_tpu.models.mmdit import DiTCrossviewTemporal
 
+pytestmark = pytest.mark.slow
+
+
 TINY = dict(
     patch_size=2,
     num_layers=4,

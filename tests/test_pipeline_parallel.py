@@ -9,6 +9,9 @@ from jax.sharding import PartitionSpec as P
 
 from opendwm_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
 
+pytestmark = pytest.mark.slow
+
+
 
 def block(params, h, *conds):
     out = jnp.tanh(h @ params["w"] + params["b"])

@@ -9,6 +9,9 @@ from opendwm_tpu.ops.attention import dot_product_attention
 from opendwm_tpu.ops.ring_attention import ring_attention_sharded
 from opendwm_tpu.parallel import MeshSpec, make_mesh
 
+pytestmark = pytest.mark.slow
+
+
 
 class TestRingAttention:
     @pytest.mark.parametrize("tp", [2, 4, 8])

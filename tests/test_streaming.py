@@ -10,6 +10,9 @@ from opendwm_tpu.parallel import MeshSpec, make_mesh
 from opendwm_tpu.pipelines.ctsd_streaming import StreamingCTSDPipeline
 from opendwm_tpu.schedulers import FlowMatchEulerScheduler
 
+pytestmark = pytest.mark.slow
+
+
 B, T, V, H, W, C = 1, 3, 2, 8, 8, 16
 
 

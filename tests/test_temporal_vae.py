@@ -7,6 +7,9 @@ import pytest
 
 from opendwm_tpu.models.temporal_vae import TemporalAutoencoderKL
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def vae_and_params():

@@ -6,6 +6,10 @@ import numpy as np
 
 from opendwm_tpu.models.text_encoders import CLIPTextEncoder, T5TextEncoder
 from opendwm_tpu.models.text_stage import (
+import pytest
+
+pytestmark = pytest.mark.slow
+
     CLIPTextStage,
     SD3TextStage,
     WhitespaceTokenizer,

@@ -7,6 +7,9 @@ import pytest
 
 from opendwm_tpu.models.unet import UNetCrossviewTemporal
 
+pytestmark = pytest.mark.slow
+
+
 B, T, V, H, W = 1, 2, 2, 16, 16
 
 

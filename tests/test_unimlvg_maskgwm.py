@@ -10,6 +10,9 @@ from opendwm_tpu.parallel import MeshSpec, make_mesh
 from opendwm_tpu.pipelines.unimlvg import UnimlvgPipeline, fill_svd_mask
 from opendwm_tpu.schedulers import FlowMatchEulerScheduler
 
+pytestmark = pytest.mark.slow
+
+
 B, T, V, H, W, C = 2, 3, 2, 8, 8, 16
 
 

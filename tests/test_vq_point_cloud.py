@@ -15,6 +15,10 @@ from opendwm_tpu.models.vq_point_cloud import (
     update_code_stats,
 )
 from opendwm_tpu.ops.voxelize import Voxelizer
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 IMG = 32  # tiny BEV grid
 ZC = 8
