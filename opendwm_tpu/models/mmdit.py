@@ -237,7 +237,7 @@ class DiTCrossviewTemporal(nn.Module):
     dual_attention_layers: Sequence[int] = tuple(range(13))
     # Crossview/temporal extensions.
     enable_crossview: bool = False
-    crossview_attention_type: Optional[str] = None  # rowwise|full
+    crossview_attention_type: Optional[str] = None  # rowwise|full|fuse|adj_fuse
     crossview_block_layers: Sequence[int] = ()
     enable_temporal: bool = False
     temporal_attention_type: Optional[str] = None  # pointwise|rowwise|full
@@ -291,6 +291,7 @@ class DiTCrossviewTemporal(nn.Module):
         disable_crossview: Optional[jax.Array] = None,
         disable_temporal: Optional[jax.Array] = None,
         crossview_attention_mask: Optional[jax.Array] = None,
+        crossview_attention_index: Optional[jax.Array] = None,
         mask_rng: Optional[jax.Array] = None,
         **_unused,
     ) -> jax.Array:
@@ -514,7 +515,7 @@ class DiTCrossviewTemporal(nn.Module):
                 x = self._crossview_branch(
                     cb, self._mixer(f"view_mixers_{j}"), x, view_emb,
                     (b, t, v, gh, cur_gw, dim), disable_crossview,
-                    crossview_attention_mask,
+                    crossview_attention_mask, crossview_attention_index,
                 )
 
         # --- output -----------------------------------------------------
@@ -556,7 +557,9 @@ class DiTCrossviewTemporal(nn.Module):
         out = mixer(x, h, image_only_indicator=disable)
         return out.reshape(b * t * v, gh * gw, c)
 
-    def _crossview_branch(self, block, mixer, x, emb, shape, disable, mask):
+    def _crossview_branch(
+        self, block, mixer, x, emb, shape, disable, mask, neighbor_index=None
+    ):
         b, t, v, gh, gw, c = shape
         h = x + emb
         if self.crossview_attention_type == "full":
@@ -570,6 +573,43 @@ class DiTCrossviewTemporal(nn.Module):
             h = h.reshape(b * t * gh, v * gw, c)
             h = block(h, mask=mask)
             h = h.reshape(b * t, gh, v, gw, c).transpose(0, 2, 1, 3, 4)
+        elif self.crossview_attention_type in ("fuse", "adj_fuse"):
+            # Windowed neighbor-view variants (reference
+            # crossview_temporal_dit.py:231-287): each view attends over its
+            # 3-view camera-ring neighborhood — 'fuse' jointly across ALL
+            # frames per view, 'adj_fuse' per frame paired with the previous
+            # frame. ``neighbor_index`` (v, 3) defaults to [v-1, v, v+1]
+            # (ring order; the reference reads it from the batch).
+            l = gh * gw
+            if neighbor_index is None:
+                vs = jnp.arange(v)
+                neighbor_index = jnp.stack(
+                    [(vs - 1) % v, vs, (vs + 1) % v], axis=1
+                )
+            hg = h.reshape(b, t, v, l, c)
+            # gather: (b, t, v, 3, l, c) — view v's 3-neighborhood
+            gathered = jnp.take(hg, neighbor_index.reshape(-1), axis=2)
+            gathered = gathered.reshape(b, t, v, 3, l, c)
+            if self.crossview_attention_type == "fuse":
+                # (b v) (t 3 l) c — all frames of the neighborhood jointly
+                g = gathered.transpose(0, 2, 1, 3, 4, 5).reshape(
+                    b * v, t * 3 * l, c
+                )
+                g = block(g, mask=mask)
+                g = g.reshape(b, v, t, 3, l, c)
+                h = g[:, :, :, 1].transpose(0, 2, 1, 3, 4)  # center view
+            else:  # adj_fuse: pair each frame with its predecessor
+                prev = jnp.concatenate(
+                    [gathered[:, :1], gathered[:, :-1]], axis=1
+                )
+                pair = jnp.stack([prev, gathered], axis=2)  # (b,t,2,v,3,l,c)
+                g = pair.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+                    b * t * v, 2 * 3 * l, c
+                )
+                g = block(g, mask=mask)
+                g = g.reshape(b, t, v, 2, 3, l, c)
+                h = g[:, :, :, 1, 1]  # current frame, center view
+            h = h.reshape(b * t, v, gh, gw, c)
         else:
             raise ValueError(
                 f"Unsupported crossview type {self.crossview_attention_type!r}"
