@@ -418,19 +418,23 @@ class VTSelfAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
+        # optimization_barrier between sublayers: stops XLA folding the
+        # branch's transposed-layout residual/LN chains into oversized
+        # fusions (see models/mmdit._b; identity in value and gradient).
+        barrier = jax.lax.optimization_barrier
         residual = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
         h = FeedForward(dtype=self.dtype, name="ff_in")(h)
-        h = h + residual
+        h = barrier(h + residual)
 
         n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h)
-        h = h + Attention(
+        h = barrier(h + Attention(
             heads=self.heads, head_dim=self.head_dim, qk_norm=self.qk_norm,
             dtype=self.dtype, name="attn1",
-        )(n, mask=mask)
+        )(n, mask=mask))
 
         n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(h)
-        h = h + FeedForward(dtype=self.dtype, name="ff")(n)
+        h = barrier(h + FeedForward(dtype=self.dtype, name="ff")(n))
         return h
 
 

@@ -72,6 +72,18 @@ def _ln(x, dtype):
     )(x)
 
 
+def _b(x):
+    """Materialization boundary between transformer sublayers.
+
+    Without it XLA folds the residual-add + LN-stats + modulate chain of
+    neighbouring sublayers into oversized tuple fusions that run ~16x above
+    the memory-bound floor on v5e (profiled: broadcast_add_fusion 3.9 ms at
+    (36,448,1536) vs 0.25 ms ideal; perf/exp_joint.py measures the barrier
+    variant at 17.0 vs 21.4 ms/block). The barrier is the identity — exact
+    in value and gradient on every backend."""
+    return jax.lax.optimization_barrier(x)
+
+
 class JointTransformerBlock(nn.Module):
     """SD3 MMDiT block (diffusers JointTransformerBlock semantics).
 
@@ -98,7 +110,7 @@ class JointTransformerBlock(nn.Module):
         shift_mlp, scale_mlp, gate_mlp = mods[3], mods[4], mods[5]
 
         normed = _ln(x, self.dtype)
-        norm_x = normed * (1 + scale_msa) + shift_msa
+        norm_x = _b(normed * (1 + scale_msa) + shift_msa)
 
         if self.context_pre_only:
             # AdaLayerNormContinuous on the context (final block).
@@ -106,43 +118,48 @@ class JointTransformerBlock(nn.Module):
                 temb
             )
             c_scale, c_shift = cmods  # diffusers order: scale, shift
-            norm_ctx = _ln(context, self.dtype) * (1 + c_scale) + c_shift
+            norm_ctx = _b(_ln(context, self.dtype) * (1 + c_scale) + c_shift)
         else:
             cmods = Modulation(dim, 6, dtype=self.dtype, name="norm1_context")(
                 temb
             )
             c_shift_msa, c_scale_msa, c_gate_msa = cmods[0], cmods[1], cmods[2]
             c_shift_mlp, c_scale_mlp, c_gate_mlp = cmods[3], cmods[4], cmods[5]
-            norm_ctx = _ln(context, self.dtype) * (1 + c_scale_msa) + c_shift_msa
+            norm_ctx = _b(
+                _ln(context, self.dtype) * (1 + c_scale_msa) + c_shift_msa
+            )
 
         attn_out, ctx_attn_out = Attention(
             heads=self.heads, head_dim=self.head_dim, qk_norm=self.qk_norm,
             joint=True, context_pre_only=self.context_pre_only,
             dtype=self.dtype, sp_axis=self.sp_axis, name="attn",
         )(norm_x, context=norm_ctx)
-        x = x + gate_msa * attn_out
+        x = _b(x + gate_msa * attn_out)
 
         if self.dual_attention:
             shift2, scale2, gate2 = mods[6], mods[7], mods[8]
-            norm_x2 = normed * (1 + scale2) + shift2
-            x = x + gate2 * Attention(
+            norm_x2 = _b(normed * (1 + scale2) + shift2)
+            x = _b(x + gate2 * Attention(
                 heads=self.heads, head_dim=self.head_dim,
                 qk_norm=self.qk_norm, dtype=self.dtype, name="attn2",
-            )(norm_x2)
+            )(norm_x2))
 
-        norm_x = _ln(x, self.dtype) * (1 + scale_mlp) + shift_mlp
-        x = x + gate_mlp * FeedForward(
+        norm_x = _b(_ln(x, self.dtype) * (1 + scale_mlp) + shift_mlp)
+        x = _b(x + gate_mlp * FeedForward(
             activation="gelu-approximate", dtype=self.dtype, name="ff"
-        )(norm_x)
+        )(norm_x))
 
         if self.context_pre_only:
             return x, None
 
-        context = context + c_gate_msa * ctx_attn_out
-        norm_ctx = _ln(context, self.dtype) * (1 + c_scale_mlp) + c_shift_mlp
-        context = context + c_gate_mlp * FeedForward(
-            activation="gelu-approximate", dtype=self.dtype, name="ff_context"
-        )(norm_ctx)
+        context = _b(context + c_gate_msa * ctx_attn_out)
+        norm_ctx = _b(
+            _ln(context, self.dtype) * (1 + c_scale_mlp) + c_shift_mlp
+        )
+        context = _b(context + c_gate_mlp * FeedForward(
+            activation="gelu-approximate", dtype=self.dtype,
+            name="ff_context",
+        )(norm_ctx))
         return x, context
 
 
