@@ -40,7 +40,7 @@ def flops_per_frame(cfg: dict, tokens_per_view: int, views: int, ctx: int):
     return (linear + attn) * 1.2 * 2  # *2: dual-ish extras, rough
 
 
-def main(train: bool = False, e2e: bool = False):
+def main(train: bool = False, e2e: bool = False, int8: bool = False):
     dev = jax.devices()[0]
     platform = dev.platform
 
@@ -91,6 +91,8 @@ def main(train: bool = False, e2e: bool = False):
         gradient_checkpointing=train,
         crossview_gradient_checkpointing=train,
         temporal_gradient_checkpointing=train,
+        # --int8: W8A8 serving path (QDense; v5e int8 MXU = 2x bf16 peak).
+        quantization="int8" if int8 else None,
     )
 
     key = jax.random.PRNGKey(0)
@@ -114,8 +116,14 @@ def main(train: bool = False, e2e: bool = False):
     base = (host_rng.standard_normal(1 << 20, dtype=np.float32) * 0.02)
     base = base.astype(jnp.bfloat16)  # ml_dtypes-backed numpy cast
 
+    int_rng = np.random.default_rng(1)
+
     def fill(s):
         n = int(np.prod(s.shape))
+        if s.dtype == jnp.int8:
+            return jax.device_put(
+                int_rng.integers(-127, 128, n, np.int8).reshape(s.shape), dev
+            )
         reps = -(-n // base.size)
         buf = np.tile(base, reps)[:n].reshape(s.shape)
         return jax.device_put(buf, dev)
@@ -370,6 +378,7 @@ def main(train: bool = False, e2e: bool = False):
         "metric": (
             "ctsd35_trainstep_frames_per_sec_per_chip" if train
             else "ctsd35_denoiser_frames_per_sec_per_chip"
+            + ("_int8" if int8 else "")
         ),
         "value": round(frames_per_sec, 3),
         "unit": unit,
@@ -379,4 +388,8 @@ def main(train: bool = False, e2e: bool = False):
 
 
 if __name__ == "__main__":
-    main(train="--train" in sys.argv, e2e="--e2e" in sys.argv)
+    main(
+        train="--train" in sys.argv,
+        e2e="--e2e" in sys.argv,
+        int8="--int8" in sys.argv,
+    )

@@ -141,25 +141,72 @@ class FeedForward(nn.Module):
     mult: int = 4
     activation: str = "geglu"
     dtype: Dtype = jnp.float32
+    quantized: bool = False  # int8 serving path (QDense)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        dense = dense_factory(self.quantized)
         dim = x.shape[-1]
         inner = dim * self.mult
         dim_out = self.dim_out or dim
         if self.activation == "geglu":
-            h = nn.Dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
+            h = dense(inner * 2, dtype=self.dtype, name="proj_in")(x)
             h, gate = jnp.split(h, 2, axis=-1)
             h = h * nn.gelu(gate, approximate=False)
         elif self.activation == "gelu-approximate":
-            h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+            h = dense(inner, dtype=self.dtype, name="proj_in")(x)
             h = nn.gelu(h, approximate=True)
         elif self.activation == "gelu":
-            h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(x)
+            h = dense(inner, dtype=self.dtype, name="proj_in")(x)
             h = nn.gelu(h, approximate=False)
         else:
             raise ValueError(f"Unknown activation {self.activation!r}")
-        return nn.Dense(dim_out, dtype=self.dtype, name="proj_out")(h)
+        return dense(dim_out, dtype=self.dtype, name="proj_out")(h)
+
+
+class QDense(nn.Module):
+    """Dense with offline-quantized int8 weights (ops/quant.py W8A8).
+
+    Parameters: ``kernel_q`` int8 (K, N), ``kernel_scale`` f32 (N,) — built
+    from a trained float checkpoint by :func:`opendwm_tpu.ops.quant
+    .quantize_param_tree`; ``bias`` stays float. Activations quantize
+    per-token on the fly; the matmul accumulates int32 on the MXU (2x bf16
+    peak on v5e)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from opendwm_tpu.ops.quant import int8_matmul
+
+        k = x.shape[-1]
+        wq = self.param(
+            "kernel_q",
+            lambda key, shape: jax.random.randint(
+                key, shape, -127, 128, jnp.int32
+            ).astype(jnp.int8),
+            (k, self.features),
+        )
+        ws = self.param(
+            "kernel_scale",
+            nn.initializers.constant(0.02 / 127),
+            (self.features,),
+            jnp.float32,
+        )
+        y = int8_matmul(x, wq, ws, self.dtype)
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
+def dense_factory(quantized: bool):
+    """nn.Dense, or QDense when the serving path runs int8."""
+    return QDense if quantized else nn.Dense
 
 
 class Attention(nn.Module):
@@ -179,6 +226,7 @@ class Attention(nn.Module):
     context_pre_only: bool = False  # joint mode: no output proj for context
     joint: bool = False
     dtype: Dtype = jnp.float32
+    quantized: bool = False  # int8 serving path (QDense projections)
     backend: Optional[str] = None
     # Sequence-parallel ring attention over a mesh axis (set when the model
     # runs inside shard_map with tokens replicated over this axis; the
@@ -198,7 +246,8 @@ class Attention(nn.Module):
         mask: Optional[jax.Array] = None,
     ):
         inner = self.heads * self.head_dim
-        dense = lambda name: nn.Dense(inner, dtype=self.dtype, name=name)
+        mk = dense_factory(self.quantized)
+        dense = lambda name: mk(inner, dtype=self.dtype, name=name)
         q = self._heads(dense("to_q")(x))
         kv_src = x if (self.joint or context is None) else context
         k = self._heads(dense("to_k")(kv_src))
@@ -239,18 +288,18 @@ class Attention(nn.Module):
 
         if self.joint and context is not None:
             sample, ctx = out[:, :-ctx_len], out[:, -ctx_len:]
-            sample = nn.Dense(
+            sample = mk(
                 self.out_dim or x.shape[-1], dtype=self.dtype, name="to_out"
             )(sample)
             if self.context_pre_only:
                 return sample, None
-            ctx = nn.Dense(
+            ctx = mk(
                 self.out_dim or context.shape[-1], dtype=self.dtype,
                 name="to_add_out",
             )(ctx)
             return sample, ctx
 
-        return nn.Dense(
+        return mk(
             self.out_dim or x.shape[-1], dtype=self.dtype, name="to_out"
         )(out)
 
@@ -415,6 +464,7 @@ class VTSelfAttentionBlock(nn.Module):
     head_dim: int
     qk_norm: Optional[str] = None
     dtype: Dtype = jnp.float32
+    quantized: bool = False  # int8 W8A8 serving path
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
@@ -424,17 +474,19 @@ class VTSelfAttentionBlock(nn.Module):
         barrier = jax.lax.optimization_barrier
         residual = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
-        h = FeedForward(dtype=self.dtype, name="ff_in")(h)
+        h = FeedForward(dtype=self.dtype, quantized=self.quantized,
+                        name="ff_in")(h)
         h = barrier(h + residual)
 
         n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h)
         h = barrier(h + Attention(
             heads=self.heads, head_dim=self.head_dim, qk_norm=self.qk_norm,
-            dtype=self.dtype, name="attn1",
+            dtype=self.dtype, quantized=self.quantized, name="attn1",
         )(n, mask=mask))
 
         n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(h)
-        h = barrier(h + FeedForward(dtype=self.dtype, name="ff")(n))
+        h = barrier(h + FeedForward(dtype=self.dtype,
+                                    quantized=self.quantized, name="ff")(n))
         return h
 
 

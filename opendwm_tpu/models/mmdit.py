@@ -100,6 +100,7 @@ class JointTransformerBlock(nn.Module):
     context_pre_only: bool = False
     dtype: Dtype = jnp.float32
     sp_axis: Optional[str] = None  # ring-shard the joint attention
+    quantized: bool = False  # int8 W8A8 serving path
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array, temb: jax.Array):
@@ -132,7 +133,8 @@ class JointTransformerBlock(nn.Module):
         attn_out, ctx_attn_out = Attention(
             heads=self.heads, head_dim=self.head_dim, qk_norm=self.qk_norm,
             joint=True, context_pre_only=self.context_pre_only,
-            dtype=self.dtype, sp_axis=self.sp_axis, name="attn",
+            dtype=self.dtype, sp_axis=self.sp_axis,
+            quantized=self.quantized, name="attn",
         )(norm_x, context=norm_ctx)
         x = _b(x + gate_msa * attn_out)
 
@@ -141,12 +143,14 @@ class JointTransformerBlock(nn.Module):
             norm_x2 = _b(normed * (1 + scale2) + shift2)
             x = _b(x + gate2 * Attention(
                 heads=self.heads, head_dim=self.head_dim,
-                qk_norm=self.qk_norm, dtype=self.dtype, name="attn2",
+                qk_norm=self.qk_norm, dtype=self.dtype,
+                quantized=self.quantized, name="attn2",
             )(norm_x2))
 
         norm_x = _b(_ln(x, self.dtype) * (1 + scale_mlp) + shift_mlp)
         x = _b(x + gate_mlp * FeedForward(
-            activation="gelu-approximate", dtype=self.dtype, name="ff"
+            activation="gelu-approximate", dtype=self.dtype,
+            quantized=self.quantized, name="ff",
         )(norm_x))
 
         if self.context_pre_only:
@@ -158,7 +162,7 @@ class JointTransformerBlock(nn.Module):
         )
         context = _b(context + c_gate_mlp * FeedForward(
             activation="gelu-approximate", dtype=self.dtype,
-            name="ff_context",
+            quantized=self.quantized, name="ff_context",
         )(norm_ctx))
         return x, context
 
@@ -277,6 +281,9 @@ class DiTCrossviewTemporal(nn.Module):
     temporal_gradient_checkpointing: bool = False
     dtype: Any = jnp.float32
     attention_backend: Optional[str] = None
+    # int8 W8A8 serving path ("int8" | None): QDense projections/MLPs with
+    # offline-quantized weights — 2x MXU peak on v5e (see ops/quant.py).
+    quantization: Optional[str] = None
     # Ring-shard the joint attention over this mesh axis (requires running
     # inside shard_map with tokens replicated over the axis; see
     # ops/ring_attention.ring_attention_replicated).
@@ -474,6 +481,7 @@ class DiTCrossviewTemporal(nn.Module):
             block = maybe_remat(
                 JointTransformerBlock,
                 self.gradient_checkpointing,
+                quantized=self.quantization == "int8",
                 heads=heads, head_dim=head_dim, qk_norm=self.qk_norm,
                 dual_attention=i in self.dual_attention_layers,
                 context_pre_only=i == self.num_layers - 1,
@@ -501,6 +509,7 @@ class DiTCrossviewTemporal(nn.Module):
                 tb = maybe_remat(
                     VTSelfAttentionBlock,
                     self.temporal_gradient_checkpointing,
+                    quantized=self.quantization == "int8",
                     heads=heads, head_dim=head_dim,
                     qk_norm=self.qk_norm_on_additional_modules,
                     dtype=compute, name=f"temporal_transformer_blocks_{j}",
@@ -525,6 +534,7 @@ class DiTCrossviewTemporal(nn.Module):
                 cb = maybe_remat(
                     VTSelfAttentionBlock,
                     self.crossview_gradient_checkpointing,
+                    quantized=self.quantization == "int8",
                     heads=heads, head_dim=head_dim,
                     qk_norm=self.qk_norm_on_additional_modules,
                     dtype=compute, name=f"crossview_transformer_blocks_{j}",
@@ -565,6 +575,10 @@ class DiTCrossviewTemporal(nn.Module):
             h = block(h)
             h = h.reshape(b, v, gh, t, gw, c).transpose(0, 3, 1, 2, 4, 5)
         else:  # pointwise: attend over t per spatial token
+            # (A transpose-free axis-1 form of this branch — attention in
+            # the canonical t-major layout via broadcast-multiply-reduce —
+            # measured NET SLOWER on v5e: 9.41 vs 9.66 f/s full-model; the
+            # 5-D intermediates tile worse than the one-off transposes.)
             h = h.reshape(b, t, v, gh * gw, c).transpose(0, 2, 3, 1, 4)
             h = h.reshape(b * v * gh * gw, t, c)
             h = block(h)
