@@ -52,15 +52,19 @@ def _set(tree: dict, path: str, value: np.ndarray):
 def linear(sd, tree, src: str, dst: str, transpose: bool = True):
     w = sd[f"{src}.weight"]
     _set(tree, f"{dst}/kernel", w.T if transpose else w)
-    if f"{src}.bias" in sd:
-        _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+    # bias-free torch layers (e.g. SD2.1 UNet attention qkv) map onto the
+    # flax Dense's always-present bias as zeros — numerically identical.
+    bias = sd.get(f"{src}.bias")
+    _set(tree, f"{dst}/bias",
+         bias if bias is not None else np.zeros(w.shape[0], w.dtype))
 
 
 def conv(sd, tree, src: str, dst: str):
     w = sd[f"{src}.weight"]
     _set(tree, f"{dst}/kernel", w.transpose(2, 3, 1, 0))
-    if f"{src}.bias" in sd:
-        _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+    bias = sd.get(f"{src}.bias")
+    _set(tree, f"{dst}/bias",
+         bias if bias is not None else np.zeros(w.shape[0], w.dtype))
 
 
 def layer_norm(sd, tree, src: str, dst: str):

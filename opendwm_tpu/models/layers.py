@@ -465,13 +465,19 @@ class VTSelfAttentionBlock(nn.Module):
     qk_norm: Optional[str] = None
     dtype: Dtype = jnp.float32
     quantized: bool = False  # int8 W8A8 serving path
+    fusion_barriers: bool = True  # off under remat (see models/mmdit._b)
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
         # optimization_barrier between sublayers: stops XLA folding the
         # branch's transposed-layout residual/LN chains into oversized
-        # fusions (see models/mmdit._b; identity in value and gradient).
-        barrier = jax.lax.optimization_barrier
+        # fusions (see models/mmdit._b; identity in value and gradient;
+        # must be off inside remat'd blocks — barriers in the recompute
+        # graph block XLA's backward fusions).
+        barrier = (
+            jax.lax.optimization_barrier if self.fusion_barriers
+            else (lambda y: y)
+        )
         residual = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
         h = FeedForward(dtype=self.dtype, quantized=self.quantized,

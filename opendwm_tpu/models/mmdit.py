@@ -72,16 +72,19 @@ def _ln(x, dtype):
     )(x)
 
 
-def _b(x):
+def _b(x, on: bool = True):
     """Materialization boundary between transformer sublayers.
 
     Without it XLA folds the residual-add + LN-stats + modulate chain of
     neighbouring sublayers into oversized tuple fusions that run ~16x above
     the memory-bound floor on v5e (profiled: broadcast_add_fusion 3.9 ms at
     (36,448,1536) vs 0.25 ms ideal; perf/exp_joint.py measures the barrier
-    variant at 17.0 vs 21.4 ms/block). The barrier is the identity — exact
-    in value and gradient on every backend."""
-    return jax.lax.optimization_barrier(x)
+    variant at 17.0 vs 21.4 ms/block; full-model fwd 9.27 -> 9.66 f/s).
+    The barrier is the identity — exact in value and gradient on every
+    backend. It must be OFF inside remat'd (training) blocks: barriers in
+    the recompute graph block XLA's backward fusions (measured train-step
+    collapse 8.96 -> 1.95 f/s), so blocks pass ``on=not remat``."""
+    return jax.lax.optimization_barrier(x) if on else x
 
 
 class JointTransformerBlock(nn.Module):
@@ -101,9 +104,13 @@ class JointTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
     sp_axis: Optional[str] = None  # ring-shard the joint attention
     quantized: bool = False  # int8 W8A8 serving path
+    fusion_barriers: bool = True  # off under remat (see _b)
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array, temb: jax.Array):
+        def _b_(y):
+            return _b(y, self.fusion_barriers)
+
         dim = self.heads * self.head_dim
         n_chunks = 9 if self.dual_attention else 6
         mods = Modulation(dim, n_chunks, dtype=self.dtype, name="norm1")(temb)
@@ -111,7 +118,7 @@ class JointTransformerBlock(nn.Module):
         shift_mlp, scale_mlp, gate_mlp = mods[3], mods[4], mods[5]
 
         normed = _ln(x, self.dtype)
-        norm_x = _b(normed * (1 + scale_msa) + shift_msa)
+        norm_x = _b_(normed * (1 + scale_msa) + shift_msa)
 
         if self.context_pre_only:
             # AdaLayerNormContinuous on the context (final block).
@@ -119,14 +126,14 @@ class JointTransformerBlock(nn.Module):
                 temb
             )
             c_scale, c_shift = cmods  # diffusers order: scale, shift
-            norm_ctx = _b(_ln(context, self.dtype) * (1 + c_scale) + c_shift)
+            norm_ctx = _b_(_ln(context, self.dtype) * (1 + c_scale) + c_shift)
         else:
             cmods = Modulation(dim, 6, dtype=self.dtype, name="norm1_context")(
                 temb
             )
             c_shift_msa, c_scale_msa, c_gate_msa = cmods[0], cmods[1], cmods[2]
             c_shift_mlp, c_scale_mlp, c_gate_mlp = cmods[3], cmods[4], cmods[5]
-            norm_ctx = _b(
+            norm_ctx = _b_(
                 _ln(context, self.dtype) * (1 + c_scale_msa) + c_shift_msa
             )
 
@@ -136,19 +143,19 @@ class JointTransformerBlock(nn.Module):
             dtype=self.dtype, sp_axis=self.sp_axis,
             quantized=self.quantized, name="attn",
         )(norm_x, context=norm_ctx)
-        x = _b(x + gate_msa * attn_out)
+        x = _b_(x + gate_msa * attn_out)
 
         if self.dual_attention:
             shift2, scale2, gate2 = mods[6], mods[7], mods[8]
-            norm_x2 = _b(normed * (1 + scale2) + shift2)
-            x = _b(x + gate2 * Attention(
+            norm_x2 = _b_(normed * (1 + scale2) + shift2)
+            x = _b_(x + gate2 * Attention(
                 heads=self.heads, head_dim=self.head_dim,
                 qk_norm=self.qk_norm, dtype=self.dtype,
                 quantized=self.quantized, name="attn2",
             )(norm_x2))
 
-        norm_x = _b(_ln(x, self.dtype) * (1 + scale_mlp) + shift_mlp)
-        x = _b(x + gate_mlp * FeedForward(
+        norm_x = _b_(_ln(x, self.dtype) * (1 + scale_mlp) + shift_mlp)
+        x = _b_(x + gate_mlp * FeedForward(
             activation="gelu-approximate", dtype=self.dtype,
             quantized=self.quantized, name="ff",
         )(norm_x))
@@ -156,11 +163,11 @@ class JointTransformerBlock(nn.Module):
         if self.context_pre_only:
             return x, None
 
-        context = _b(context + c_gate_msa * ctx_attn_out)
-        norm_ctx = _b(
+        context = _b_(context + c_gate_msa * ctx_attn_out)
+        norm_ctx = _b_(
             _ln(context, self.dtype) * (1 + c_scale_mlp) + c_shift_mlp
         )
-        context = _b(context + c_gate_mlp * FeedForward(
+        context = _b_(context + c_gate_mlp * FeedForward(
             activation="gelu-approximate", dtype=self.dtype,
             quantized=self.quantized, name="ff_context",
         )(norm_ctx))
@@ -482,6 +489,7 @@ class DiTCrossviewTemporal(nn.Module):
                 JointTransformerBlock,
                 self.gradient_checkpointing,
                 quantized=self.quantization == "int8",
+                fusion_barriers=not self.gradient_checkpointing,
                 heads=heads, head_dim=head_dim, qk_norm=self.qk_norm,
                 dual_attention=i in self.dual_attention_layers,
                 context_pre_only=i == self.num_layers - 1,
@@ -510,6 +518,7 @@ class DiTCrossviewTemporal(nn.Module):
                     VTSelfAttentionBlock,
                     self.temporal_gradient_checkpointing,
                     quantized=self.quantization == "int8",
+                    fusion_barriers=not self.temporal_gradient_checkpointing,
                     heads=heads, head_dim=head_dim,
                     qk_norm=self.qk_norm_on_additional_modules,
                     dtype=compute, name=f"temporal_transformer_blocks_{j}",
@@ -535,6 +544,7 @@ class DiTCrossviewTemporal(nn.Module):
                     VTSelfAttentionBlock,
                     self.crossview_gradient_checkpointing,
                     quantized=self.quantization == "int8",
+                    fusion_barriers=not self.crossview_gradient_checkpointing,
                     heads=heads, head_dim=head_dim,
                     qk_norm=self.qk_norm_on_additional_modules,
                     dtype=compute, name=f"crossview_transformer_blocks_{j}",

@@ -181,7 +181,11 @@ class TransformerModel(nn.Module):
     ):
         b, t, v, hh, ww, c = x.shape
         residual = x
-        h = _gn(x, self.dtype, "norm", eps=1e-6)
+        # GroupNorm stats must pool per (b,t,v) image — flax GroupNorm
+        # treats only axis 0 as batch, so normalize on the flattened view
+        # (parity bug caught by tests/torch_oracle_unet.py: pooling across
+        # t/v diverged 0.59 from the reference on random init).
+        h = _gn(x.reshape((-1,) + x.shape[3:]), self.dtype, "norm", eps=1e-6)
         h = h.reshape(b * t * v, hh * ww, c)
         h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
         ctx = context.reshape((b * t * v,) + context.shape[3:]) \
