@@ -40,7 +40,8 @@ def flops_per_frame(cfg: dict, tokens_per_view: int, views: int, ctx: int):
     return (linear + attn) * 1.2 * 2  # *2: dual-ish extras, rough
 
 
-def main(train: bool = False, e2e: bool = False, int8: bool = False):
+def main(train: bool = False, e2e: bool = False, int8: bool = False,
+         remat_dots: bool = False):
     dev = jax.devices()[0]
     platform = dev.platform
 
@@ -93,6 +94,8 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False):
         temporal_gradient_checkpointing=train,
         # --int8: W8A8 serving path (QDense; v5e int8 MXU = 2x bf16 peak).
         quantization="int8" if int8 else None,
+        # --remat-dots: save matmul outputs in the remat'd backward.
+        remat_policy="dots" if remat_dots else None,
     )
 
     key = jax.random.PRNGKey(0)
@@ -345,7 +348,8 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False):
         fl_frame = fl * 2 * n_steps * window_overhead + vae_flops * v
         a100_fps = (312e12 * 0.40) / fl_frame
         result = {
-            "metric": "ctsd35_e2e_40frame_generation_fps_per_chip",
+            "metric": "ctsd35_e2e_40frame_generation_fps_per_chip"
+            + ("_int8" if int8 else ""),
             "value": round(frames_per_sec, 4),
             "unit": (
                 f"video frames/s ({platform}, {total_frames}-frame 6-view "
@@ -392,4 +396,5 @@ if __name__ == "__main__":
         train="--train" in sys.argv,
         e2e="--e2e" in sys.argv,
         int8="--int8" in sys.argv,
+        remat_dots="--remat-dots" in sys.argv,
     )

@@ -286,6 +286,11 @@ class DiTCrossviewTemporal(nn.Module):
     gradient_checkpointing: bool = False
     crossview_gradient_checkpointing: bool = False
     temporal_gradient_checkpointing: bool = False
+    # Remat policy: None = recompute everything; "dots" = save matmul
+    # outputs and recompute only elementwise ops in the backward
+    # (jax.checkpoint_policies.dots_saveable) — trades HBM for the
+    # recompute FLOPs that dominate the rematerialized backward.
+    remat_policy: Optional[str] = None
     dtype: Any = jnp.float32
     attention_backend: Optional[str] = None
     # int8 W8A8 serving path ("int8" | None): QDense projections/MLPs with
@@ -460,8 +465,15 @@ class DiTCrossviewTemporal(nn.Module):
         heads, head_dim = self.num_attention_heads, self.attention_head_dim
 
         def maybe_remat(module_cls, flag, **kw):
-            cls = nn.remat(module_cls) if flag else module_cls
-            return cls(**kw)
+            if not flag:
+                return module_cls(**kw)
+            policy = {
+                None: None,
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "dots_no_batch":
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }[self.remat_policy]
+            return nn.remat(module_cls, policy=policy)(**kw)
 
         for i in range(self.num_layers):
             if (
