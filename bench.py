@@ -287,7 +287,9 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
         # ctsd.py:1605-1643 decodes chunked; same here).
         from opendwm_tpu.models.autoencoders import sd35_vae
 
-        vae = sd35_vae(dtype=jnp.bfloat16)
+        vae = sd35_vae(
+            dtype=jnp.bfloat16, quantization="int8" if int8 else None
+        )
         vae_shapes = jax.eval_shape(
             vae.init, jax.random.PRNGKey(2),
             jnp.zeros((1, h * 8, w * 8, 3), jnp.bfloat16),

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from opendwm_tpu.config import register
+from opendwm_tpu.models.layers import conv_factory, dense_factory
 
 Dtype = jnp.dtype
 
@@ -35,23 +36,25 @@ Dtype = jnp.dtype
 class ResnetBlock(nn.Module):
     out_channels: Optional[int] = None
     dtype: Dtype = jnp.float32
+    quantized: bool = False  # int8 W8A8 serving path
 
     @nn.compact
     def __call__(self, x):
+        conv = conv_factory(self.quantized)
         out_ch = self.out_channels or x.shape[-1]
         groups = min(32, x.shape[-1])
         h = nn.GroupNorm(groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
+        h = conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                 name="conv1")(h)
         h = nn.GroupNorm(min(32, h.shape[-1]), epsilon=1e-6, dtype=self.dtype,
                          name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
+        h = conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                 name="conv2")(h)
         if x.shape[-1] != out_ch:
-            x = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
-                        name="conv_shortcut")(x)
+            x = conv(out_ch, (1, 1), dtype=self.dtype,
+                     name="conv_shortcut")(x)
         return x + h
 
 
@@ -59,21 +62,23 @@ class AttnBlock(nn.Module):
     """Single-head attention over spatial positions (VAE mid block)."""
 
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
+        dense = dense_factory(self.quantized)
         b, h, w, c = x.shape
         y = nn.GroupNorm(min(32, c), epsilon=1e-6, dtype=self.dtype,
                          name="group_norm")(x)
         y = y.reshape(b, h * w, c)
-        q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
-        k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
-        v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
+        q = dense(c, dtype=self.dtype, name="to_q")(y)
+        k = dense(c, dtype=self.dtype, name="to_k")(y)
+        v = dense(c, dtype=self.dtype, name="to_v")(y)
         logits = jnp.einsum("bqc,bkc->bqk", q, k,
                             preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(logits * (c ** -0.5), -1).astype(v.dtype)
         y = jnp.einsum("bqk,bkc->bqc", probs, v)
-        y = nn.Dense(c, dtype=self.dtype, name="to_out")(y)
+        y = dense(c, dtype=self.dtype, name="to_out")(y)
         return x + y.reshape(b, h, w, c)
 
 
@@ -83,29 +88,35 @@ class Encoder(nn.Module):
     latent_channels: int = 4
     double_z: bool = True
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.block_out_channels[0], (3, 3), padding=1,
-                    dtype=self.dtype, name="conv_in")(x)
+        conv = conv_factory(self.quantized)
+        h = conv(self.block_out_channels[0], (3, 3), padding=1,
+                 dtype=self.dtype, name="conv_in")(x)
         for i, ch in enumerate(self.block_out_channels):
             for j in range(self.layers_per_block):
                 h = ResnetBlock(ch, dtype=self.dtype,
+                                quantized=self.quantized,
                                 name=f"down_{i}_resnet_{j}")(h)
             if i < len(self.block_out_channels) - 1:
                 # diffusers pads (0,1,0,1) then uses a VALID stride-2 conv.
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="VALID",
-                            dtype=self.dtype, name=f"down_{i}_downsample")(h)
-        h = ResnetBlock(dtype=self.dtype, name="mid_resnet_0")(h)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn")(h)
-        h = ResnetBlock(dtype=self.dtype, name="mid_resnet_1")(h)
+                h = conv(ch, (3, 3), strides=(2, 2), padding="VALID",
+                         dtype=self.dtype, name=f"down_{i}_downsample")(h)
+        h = ResnetBlock(dtype=self.dtype, quantized=self.quantized,
+                        name="mid_resnet_0")(h)
+        h = AttnBlock(dtype=self.dtype, quantized=self.quantized,
+                      name="mid_attn")(h)
+        h = ResnetBlock(dtype=self.dtype, quantized=self.quantized,
+                        name="mid_resnet_1")(h)
         h = nn.GroupNorm(min(32, h.shape[-1]), epsilon=1e-6, dtype=self.dtype,
                          name="conv_norm_out")(h)
         h = nn.silu(h)
         out_ch = self.latent_channels * (2 if self.double_z else 1)
-        return nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv_out")(h)
+        return conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_out")(h)
 
 
 class Decoder(nn.Module):
@@ -113,29 +124,35 @@ class Decoder(nn.Module):
     layers_per_block: int = 3
     out_channels: int = 3
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, z):
+        conv = conv_factory(self.quantized)
         chans = list(reversed(self.block_out_channels))
-        h = nn.Conv(chans[0], (3, 3), padding=1, dtype=self.dtype,
-                    name="conv_in")(z)
-        h = ResnetBlock(dtype=self.dtype, name="mid_resnet_0")(h)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn")(h)
-        h = ResnetBlock(dtype=self.dtype, name="mid_resnet_1")(h)
+        h = conv(chans[0], (3, 3), padding=1, dtype=self.dtype,
+                 name="conv_in")(z)
+        h = ResnetBlock(dtype=self.dtype, quantized=self.quantized,
+                        name="mid_resnet_0")(h)
+        h = AttnBlock(dtype=self.dtype, quantized=self.quantized,
+                      name="mid_attn")(h)
+        h = ResnetBlock(dtype=self.dtype, quantized=self.quantized,
+                        name="mid_resnet_1")(h)
         for i, ch in enumerate(chans):
             for j in range(self.layers_per_block):
                 h = ResnetBlock(ch, dtype=self.dtype,
+                                quantized=self.quantized,
                                 name=f"up_{i}_resnet_{j}")(h)
             if i < len(chans) - 1:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
-                h = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
-                            name=f"up_{i}_upsample")(h)
+                h = conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                         name=f"up_{i}_upsample")(h)
         h = nn.GroupNorm(min(32, h.shape[-1]), epsilon=1e-6, dtype=self.dtype,
                          name="conv_norm_out")(h)
         h = nn.silu(h)
-        return nn.Conv(self.out_channels, (3, 3), padding=1,
-                       dtype=self.dtype, name="conv_out")(h)
+        return conv(self.out_channels, (3, 3), padding=1,
+                    dtype=self.dtype, name="conv_out")(h)
 
 
 @register("AutoencoderKL", aliases=("diffusers.AutoencoderKL",))
@@ -152,18 +169,23 @@ class AutoencoderKL(nn.Module):
     shift_factor: float = 0.0
     sample_size: int = 256
     dtype: Any = jnp.float32
+    # int8 W8A8 serving path ("int8" | None) — see ops/quant.py.
+    quantization: Optional[str] = None
 
     @property
     def downscale_factor(self) -> int:
         return 2 ** (len(self.block_out_channels) - 1)
 
     def setup(self):
+        q = self.quantization == "int8"
         self.encoder = Encoder(
             block_out_channels=self.block_out_channels,
             latent_channels=self.latent_channels, dtype=self.dtype,
+            quantized=q,
         )
         self.decoder = Decoder(
-            block_out_channels=self.block_out_channels, dtype=self.dtype
+            block_out_channels=self.block_out_channels, dtype=self.dtype,
+            quantized=q,
         )
         if self.use_quant_conv:
             self.quant_conv = nn.Conv(
@@ -224,7 +246,7 @@ def sd21_vae(dtype=jnp.float32) -> AutoencoderKL:
                          scaling_factor=0.18215, dtype=dtype)
 
 
-def sd35_vae(dtype=jnp.float32) -> AutoencoderKL:
+def sd35_vae(dtype=jnp.float32, quantization=None) -> AutoencoderKL:
     return AutoencoderKL(latent_channels=16, use_quant_conv=False,
                          scaling_factor=1.5305, shift_factor=0.0609,
-                         dtype=dtype)
+                         dtype=dtype, quantization=quantization)

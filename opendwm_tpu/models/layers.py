@@ -18,7 +18,7 @@ Conventions: channel-last everywhere; ``dtype`` is the compute dtype
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax
@@ -207,6 +207,55 @@ class QDense(nn.Module):
 def dense_factory(quantized: bool):
     """nn.Dense, or QDense when the serving path runs int8."""
     return QDense if quantized else nn.Dense
+
+
+class QConv(nn.Module):
+    """NHWC conv with offline-quantized int8 weights (ops/quant.int8_conv).
+
+    Mirrors the nn.Conv surface used by the VAE/UNet stacks (kernel_size,
+    strides, int or "SAME"/"VALID" padding). Parameters: ``kernel_q`` int8
+    (kh, kw, in, out) + ``kernel_scale`` f32 (out,) + float ``bias``."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from opendwm_tpu.ops.quant import int8_conv
+
+        kh, kw = self.kernel_size
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        wq = self.param(
+            "kernel_q",
+            lambda key, shape: jax.random.randint(
+                key, shape, -127, 128, jnp.int32
+            ).astype(jnp.int8),
+            (kh, kw, x.shape[-1], self.features),
+        )
+        ws = self.param(
+            "kernel_scale",
+            nn.initializers.constant(0.02 / 127),
+            (self.features,),
+            jnp.float32,
+        )
+        y = int8_conv(x, wq, ws, self.strides, pad, self.dtype)
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + b.astype(self.dtype)
+        return y
+
+
+def conv_factory(quantized: bool):
+    """nn.Conv, or QConv when the serving path runs int8."""
+    return QConv if quantized else nn.Conv
 
 
 class Attention(nn.Module):

@@ -25,9 +25,12 @@ import jax.numpy as jnp
 
 
 def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(K, N) float -> int8 (K, N) + per-column f32 scale (N,)."""
+    """(..., N) float -> int8 + per-OUTPUT-channel f32 scale (N,).
+
+    Works for Dense kernels (K, N) and conv kernels (kh, kw, in, N) alike:
+    the scale is per trailing (output) channel."""
     w32 = w.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(w32), axis=0)
+    amax = jnp.max(jnp.abs(w32), axis=tuple(range(w.ndim - 1)))
     scale = jnp.maximum(amax, 1e-8) / 127.0
     wq = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
     return wq, scale
@@ -57,6 +60,29 @@ def int8_matmul(
         preferred_element_type=jnp.int32,
     )
     return (y.astype(jnp.float32) * x_scale * w_scale).astype(out_dtype)
+
+
+def int8_conv(
+    x: jax.Array, wq: jax.Array, w_scale: jax.Array,
+    strides=(1, 1), padding="SAME",
+    out_dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """NHWC conv with int8 MXU accumulation.
+
+    x: (N, H, W, Cin) float; wq: (kh, kw, Cin, Cout) int8; w_scale:
+    (Cout,) f32. The activation scale is per TENSOR (a conv output mixes
+    pixels, so per-pixel scales don't factor out) — fine for the VAE/UNet
+    conv stacks whose GroupNorm+silu keep ranges moderate."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32))
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * s * w_scale).astype(out_dtype)
 
 
 def quantize_param_tree(float_params, quant_shapes):

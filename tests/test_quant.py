@@ -65,3 +65,23 @@ class TestQuantizedDiT:
         cos = float(f @ q / (np.linalg.norm(f) * np.linalg.norm(q)))
         assert np.isfinite(q).all()
         assert cos > 0.995, cos
+
+
+class TestQuantizedVAE:
+    def test_int8_decode_tracks_float(self):
+        from opendwm_tpu.models.autoencoders import AutoencoderKL
+
+        fvae = AutoencoderKL(block_out_channels=(32, 64), latent_channels=4)
+        qvae = AutoencoderKL(block_out_channels=(32, 64), latent_channels=4,
+                             quantization="int8")
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3)) * 0.5
+        fparams = fvae.init(jax.random.PRNGKey(0), x)
+        qshapes = jax.eval_shape(qvae.init, jax.random.PRNGKey(0), x)
+        qparams = quantize_param_tree(fparams, qshapes)
+        frec, fmean, _ = fvae.apply(fparams, x)
+        qrec, qmean, _ = qvae.apply(qparams, x)
+        f = np.asarray(frec, np.float32).ravel()
+        q = np.asarray(qrec, np.float32).ravel()
+        cos = float(f @ q / (np.linalg.norm(f) * np.linalg.norm(q) + 1e-9))
+        assert np.isfinite(q).all()
+        assert cos > 0.99, cos
