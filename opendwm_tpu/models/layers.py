@@ -330,6 +330,10 @@ class Attention(nn.Module):
 
             out = ring_attention_replicated(q, k, v, self.sp_axis)
         else:
+            # (A channel-packed Pallas attention that avoids the head-split
+            # transposes measured 27% faster in isolation but 6% SLOWER
+            # full-model — XLA already folds the transposes into the
+            # projection epilogues; see NEXT.md round-3 notes.)
             out = dot_product_attention(
                 q, k, v, bias=mask, backend=self.backend
             )

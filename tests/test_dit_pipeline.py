@@ -14,9 +14,6 @@ import pytest
 
 from opendwm_tpu.parallel import MeshSpec, make_mesh
 from opendwm_tpu.parallel.dit_pipeline import (
-
-pytestmark = pytest.mark.slow
-
     build_flagship_stages,
     flagship_pipeline_apply,
     flagship_sequential_apply,
@@ -29,6 +26,8 @@ TINY = dict(
     crossview_layers=(1, 5),
     temporal_layers=(2, 3, 6, 7),
 )
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

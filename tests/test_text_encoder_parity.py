@@ -19,12 +19,11 @@ from opendwm_tpu.convert.torch_import import (  # noqa: E402
     convert_t5_encoder,
 )
 from opendwm_tpu.models.text_encoders import (  # noqa: E402
-
-pytestmark = pytest.mark.slow
-
     CLIPTextEncoder,
     T5TextEncoder,
 )
+
+pytestmark = pytest.mark.slow
 
 
 class TestCLIPParity:

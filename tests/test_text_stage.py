@@ -6,15 +6,15 @@ import numpy as np
 
 from opendwm_tpu.models.text_encoders import CLIPTextEncoder, T5TextEncoder
 from opendwm_tpu.models.text_stage import (
-import pytest
-
-pytestmark = pytest.mark.slow
-
     CLIPTextStage,
     SD3TextStage,
     WhitespaceTokenizer,
     flatten_descriptions,
 )
+
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def make_clip(hidden, proj=None):
