@@ -558,6 +558,7 @@ class TemporalBasicTransformerBlock(nn.Module):
     head_dim: int
     use_cross_attention: bool = False
     dtype: Dtype = jnp.float32
+    quantized: bool = False  # int8 W8A8 serving path
 
     @nn.compact
     def __call__(
@@ -568,22 +569,24 @@ class TemporalBasicTransformerBlock(nn.Module):
     ):
         residual = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_in")(x)
-        h = FeedForward(dtype=self.dtype, name="ff_in")(h)
+        h = FeedForward(dtype=self.dtype, quantized=self.quantized,
+                        name="ff_in")(h)
         h = h + residual
 
         n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h)
         h = h + Attention(
             heads=self.heads, head_dim=self.head_dim, dtype=self.dtype,
-            name="attn1",
+            quantized=self.quantized, name="attn1",
         )(n, mask=mask)
 
         if self.use_cross_attention:
             n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
             h = h + Attention(
                 heads=self.heads, head_dim=self.head_dim, dtype=self.dtype,
-                name="attn2",
+                quantized=self.quantized, name="attn2",
             )(n, context=context)
 
         n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(h)
-        h = h + FeedForward(dtype=self.dtype, name="ff")(n)
+        h = h + FeedForward(dtype=self.dtype, quantized=self.quantized,
+                            name="ff")(n)
         return h

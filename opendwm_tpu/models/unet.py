@@ -31,6 +31,7 @@ from opendwm_tpu.models.layers import (
     FeedForward,
     TemporalBasicTransformerBlock,
     TimestepEmbedding,
+    conv_factory,
     timestep_embedding,
 )
 
@@ -48,14 +49,16 @@ class SpatialResnetBlock(nn.Module):
     out_channels: Optional[int] = None
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    quantized: bool = False  # int8 W8A8 serving path (2-D convs)
 
     @nn.compact
     def __call__(self, x, temb=None):
+        conv = conv_factory(self.quantized)
         out_ch = self.out_channels or x.shape[-1]
         h = _gn(x, self.dtype, "norm1", self.eps)
         h = nn.silu(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
+        h = conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                 name="conv1")(h)
         if temb is not None:
             t = nn.Dense(out_ch, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
@@ -63,11 +66,11 @@ class SpatialResnetBlock(nn.Module):
             h = h + t[:, None, None, :]
         h = _gn(h, self.dtype, "norm2", self.eps)
         h = nn.silu(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
+        h = conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                 name="conv2")(h)
         if x.shape[-1] != out_ch:
-            x = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
-                        name="conv_shortcut")(x)
+            x = conv(out_ch, (1, 1), dtype=self.dtype,
+                     name="conv_shortcut")(x)
         return x + h
 
 
@@ -107,6 +110,9 @@ class CTResBlock(nn.Module):
     enable_temporal: bool = True
     merge_factor: float = 0.5
     dtype: Dtype = jnp.float32
+    # int8 serving: 2-D spatial convs quantize; the (3,1,1) temporal
+    # convs stay bf16 (no QConv3D — small FLOPs share).
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, temb=None, disable_temporal=None):
@@ -116,7 +122,7 @@ class CTResBlock(nn.Module):
             else None
         h = SpatialResnetBlock(
             self.out_channels, eps=self.eps, dtype=self.dtype,
-            name="spatial_res_block",
+            quantized=self.quantized, name="spatial_res_block",
         )(flat, temb_flat)
         h = h.reshape((b, t, v) + h.shape[1:])
 
@@ -146,18 +152,22 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     has_cross_attention: bool = True
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, context=None):
         n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(heads=self.heads, head_dim=self.head_dim,
-                          dtype=self.dtype, name="attn1")(n)
+                          dtype=self.dtype, quantized=self.quantized,
+                          name="attn1")(n)
         if self.has_cross_attention:
             n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
             x = x + Attention(heads=self.heads, head_dim=self.head_dim,
-                              dtype=self.dtype, name="attn2")(n, context=context)
+                              dtype=self.dtype, quantized=self.quantized,
+                              name="attn2")(n, context=context)
         n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        return x + FeedForward(dtype=self.dtype, name="ff")(n)
+        return x + FeedForward(dtype=self.dtype, quantized=self.quantized,
+                               name="ff")(n)
 
 
 class TransformerModel(nn.Module):
@@ -173,6 +183,7 @@ class TransformerModel(nn.Module):
     enable_rowwise_temporal: bool = False
     merge_factor: float = 0.5
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(
@@ -186,8 +197,11 @@ class TransformerModel(nn.Module):
         # (parity bug caught by tests/torch_oracle_unet.py: pooling across
         # t/v diverged 0.59 from the reference on random init).
         h = _gn(x.reshape((-1,) + x.shape[3:]), self.dtype, "norm", eps=1e-6)
+        from opendwm_tpu.models.layers import dense_factory
+
+        dense = dense_factory(self.quantized)
         h = h.reshape(b * t * v, hh * ww, c)
-        h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
+        h = dense(c, dtype=self.dtype, name="proj_in")(h)
         ctx = context.reshape((b * t * v,) + context.shape[3:]) \
             if context is not None else None
 
@@ -218,7 +232,7 @@ class TransformerModel(nn.Module):
         for i in range(self.num_layers):
             h = BasicTransformerBlock(
                 heads=self.heads, head_dim=self.head_dim, dtype=self.dtype,
-                name=f"transformer_blocks_{i}",
+                quantized=self.quantized, name=f"transformer_blocks_{i}",
             )(h, context=ctx)
 
             if self.enable_crossview:
@@ -235,7 +249,7 @@ class TransformerModel(nn.Module):
                     )
                 cv = TemporalBasicTransformerBlock(
                     heads=self.heads, head_dim=self.head_dim,
-                    dtype=self.dtype,
+                    dtype=self.dtype, quantized=self.quantized,
                     name=f"crossview_transformer_blocks_{i}",
                 )(cv, mask=crossview_attention_mask)
                 if self.enable_rowwise_crossview:
@@ -266,7 +280,7 @@ class TransformerModel(nn.Module):
                     )
                 tp = TemporalBasicTransformerBlock(
                     heads=self.heads, head_dim=self.head_dim,
-                    dtype=self.dtype,
+                    dtype=self.dtype, quantized=self.quantized,
                     name=f"temporal_transformer_blocks_{i}",
                 )(tp)
                 if self.enable_rowwise_temporal:
@@ -281,7 +295,7 @@ class TransformerModel(nn.Module):
                     image_only_indicator=disable_temporal,
                 ).reshape(b * t * v, hh * ww, c)
 
-        h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+        h = dense(c, dtype=self.dtype, name="proj_out")(h)
         return h.reshape(b, t, v, hh, ww, c) + residual
 
 
@@ -297,6 +311,7 @@ class DownBlockCT(nn.Module):
     merge_factor: float = 0.5
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, temb, disable_temporal=None):
@@ -306,16 +321,17 @@ class DownBlockCT(nn.Module):
                 self.out_channels, eps=self.eps,
                 enable_temporal=self.enable_temporal,
                 merge_factor=self.merge_factor, dtype=self.dtype,
-                name=f"resnets_{i}",
+                quantized=self.quantized, name=f"resnets_{i}",
             )(x, temb, disable_temporal)
             states.append(x)
         if self.add_downsample:
             b, t, v = x.shape[:3]
             flat = x.reshape((-1,) + x.shape[3:])
             flat = jnp.pad(flat, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            flat = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                           padding="VALID", dtype=self.dtype,
-                           name="downsample")(flat)
+            flat = conv_factory(self.quantized)(
+                self.out_channels, (3, 3), strides=(2, 2),
+                padding="VALID", dtype=self.dtype, name="downsample",
+            )(flat)
             x = flat.reshape((b, t, v) + flat.shape[1:])
             states.append(x)
         return x, states
@@ -334,6 +350,7 @@ class CrossAttnDownBlockCT(nn.Module):
     merge_factor: float = 0.5
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(
@@ -346,7 +363,7 @@ class CrossAttnDownBlockCT(nn.Module):
                 self.out_channels, eps=self.eps,
                 enable_temporal=self.enable_temporal,
                 merge_factor=self.merge_factor, dtype=self.dtype,
-                name=f"resnets_{i}",
+                quantized=self.quantized, name=f"resnets_{i}",
             )(x, temb, disable_temporal)
             x = TransformerModel(
                 heads=self.heads, head_dim=self.out_channels // self.heads,
@@ -356,7 +373,7 @@ class CrossAttnDownBlockCT(nn.Module):
                 enable_rowwise_crossview=self.enable_rowwise_crossview,
                 enable_rowwise_temporal=self.enable_rowwise_temporal,
                 merge_factor=self.merge_factor, dtype=self.dtype,
-                name=f"attentions_{i}",
+                quantized=self.quantized, name=f"attentions_{i}",
             )(x, context, disable_crossview, disable_temporal,
               crossview_attention_mask)
             states.append(x)
@@ -364,9 +381,10 @@ class CrossAttnDownBlockCT(nn.Module):
             b, t, v = x.shape[:3]
             flat = x.reshape((-1,) + x.shape[3:])
             flat = jnp.pad(flat, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            flat = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                           padding="VALID", dtype=self.dtype,
-                           name="downsample")(flat)
+            flat = conv_factory(self.quantized)(
+                self.out_channels, (3, 3), strides=(2, 2),
+                padding="VALID", dtype=self.dtype, name="downsample",
+            )(flat)
             x = flat.reshape((b, t, v) + flat.shape[1:])
             states.append(x)
         return x, states
@@ -381,6 +399,7 @@ class MidBlockCT(nn.Module):
     enable_rowwise_temporal: bool = False
     merge_factor: float = 0.5
     eps: float = 1e-5
+    quantized: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -392,7 +411,7 @@ class MidBlockCT(nn.Module):
         x = CTResBlock(
             c, eps=self.eps, enable_temporal=self.enable_temporal,
             merge_factor=self.merge_factor, dtype=self.dtype,
-            name="resnets_0",
+            quantized=self.quantized, name="resnets_0",
         )(x, temb, disable_temporal)
         x = TransformerModel(
             heads=self.heads, head_dim=c // self.heads,
@@ -402,13 +421,13 @@ class MidBlockCT(nn.Module):
             enable_rowwise_crossview=self.enable_rowwise_crossview,
             enable_rowwise_temporal=self.enable_rowwise_temporal,
             merge_factor=self.merge_factor, dtype=self.dtype,
-            name="attentions_0",
+            quantized=self.quantized, name="attentions_0",
         )(x, context, disable_crossview, disable_temporal,
           crossview_attention_mask)
         x = CTResBlock(
             c, eps=self.eps, enable_temporal=self.enable_temporal,
             merge_factor=self.merge_factor, dtype=self.dtype,
-            name="resnets_1",
+            quantized=self.quantized, name="resnets_1",
         )(x, temb, disable_temporal)
         return x
 
@@ -427,6 +446,7 @@ class UpBlockCT(nn.Module):
     enable_rowwise_crossview: bool = False
     enable_rowwise_temporal: bool = False
     dtype: Dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(
@@ -440,7 +460,7 @@ class UpBlockCT(nn.Module):
                 self.out_channels, eps=self.eps,
                 enable_temporal=self.enable_temporal,
                 merge_factor=self.merge_factor, dtype=self.dtype,
-                name=f"resnets_{i}",
+                quantized=self.quantized, name=f"resnets_{i}",
             )(x, temb, disable_temporal)
             if self.has_attention:
                 x = TransformerModel(
@@ -452,7 +472,7 @@ class UpBlockCT(nn.Module):
                     enable_rowwise_crossview=self.enable_rowwise_crossview,
                     enable_rowwise_temporal=self.enable_rowwise_temporal,
                     merge_factor=self.merge_factor, dtype=self.dtype,
-                    name=f"attentions_{i}",
+                    quantized=self.quantized, name=f"attentions_{i}",
                 )(x, context, disable_crossview, disable_temporal,
                   crossview_attention_mask)
         if self.add_upsample:
@@ -461,8 +481,10 @@ class UpBlockCT(nn.Module):
             flat = jax.image.resize(
                 flat, (flat.shape[0], hh * 2, ww * 2, c), "nearest"
             )
-            flat = nn.Conv(self.out_channels, (3, 3), padding=1,
-                           dtype=self.dtype, name="upsample")(flat)
+            flat = conv_factory(self.quantized)(
+                self.out_channels, (3, 3), padding=1,
+                dtype=self.dtype, name="upsample",
+            )(flat)
             x = flat.reshape((b, t, v) + flat.shape[1:])
         return x
 
@@ -496,6 +518,9 @@ class UNetCrossviewTemporal(nn.Module):
     depth_frustum_range: Optional[Sequence[float]] = None
     gradient_checkpointing: bool = False
     dtype: Any = jnp.float32
+    # int8 W8A8 serving path ("int8" | None): 2-D convs + transformer
+    # denses quantize; (3,1,1) temporal convs and embeddings stay bf16.
+    quantization: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -565,7 +590,10 @@ class UNetCrossviewTemporal(nn.Module):
             )(condition_image_tensor.astype(compute))
             residuals = list(feats)
 
-        x = nn.Conv(ch0, (3, 3), padding=1, dtype=compute, name="conv_in")(
+        q8 = self.quantization == "int8"
+        x = conv_factory(q8)(
+            ch0, (3, 3), padding=1, dtype=compute, name="conv_in"
+        )(
             sample.reshape((-1,) + sample.shape[3:])
         ).reshape((b, t, v) + sample.shape[3:-1] + (ch0,))
         depth_inputs = [x]
@@ -591,7 +619,7 @@ class UNetCrossviewTemporal(nn.Module):
                     enable_rowwise_crossview=self.enable_rowwise_crossview,
                     enable_rowwise_temporal=self.enable_rowwise_temporal,
                     merge_factor=self.merge_factor, eps=self.norm_eps,
-                    dtype=compute, name=f"down_blocks_{i}",
+                    quantized=q8, dtype=compute, name=f"down_blocks_{i}",
                 )(x, emb, ctx, disable_crossview, disable_temporal,
                   crossview_attention_mask)
             else:
@@ -600,7 +628,7 @@ class UNetCrossviewTemporal(nn.Module):
                     add_downsample=not is_final,
                     enable_temporal=self.enable_temporal,
                     merge_factor=self.merge_factor, eps=self.norm_eps,
-                    dtype=compute, name=f"down_blocks_{i}",
+                    quantized=q8, dtype=compute, name=f"down_blocks_{i}",
                 )(x, emb, disable_temporal)
             depth_inputs.append(x)
             if residuals:
@@ -648,7 +676,7 @@ class UNetCrossviewTemporal(nn.Module):
             enable_rowwise_crossview=self.enable_rowwise_crossview,
             enable_rowwise_temporal=self.enable_rowwise_temporal,
             merge_factor=self.merge_factor, eps=self.norm_eps, dtype=compute,
-            name="mid_block",
+            quantized=q8, name="mid_block",
         )(x, emb, ctx, disable_crossview, disable_temporal,
           crossview_attention_mask)
 
@@ -667,15 +695,17 @@ class UNetCrossviewTemporal(nn.Module):
                 enable_crossview=self.enable_crossview,
                 enable_rowwise_crossview=self.enable_rowwise_crossview,
                 enable_rowwise_temporal=self.enable_rowwise_temporal,
-                dtype=compute, name=f"up_blocks_{i}",
+                quantized=q8, dtype=compute, name=f"up_blocks_{i}",
             )(x, down_states, emb, ctx, disable_crossview, disable_temporal,
               crossview_attention_mask)
 
         flat = x.reshape((-1,) + x.shape[3:])
         flat = _gn(flat, compute, "conv_norm_out")
         flat = nn.silu(flat)
-        flat = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=compute,
-                       name="conv_out")(flat)
+        flat = conv_factory(q8)(
+            self.out_channels, (3, 3), padding=1, dtype=compute,
+            name="conv_out",
+        )(flat)
         out = flat.reshape((b, t, v) + flat.shape[1:])
         if squeeze_view:
             out = out[:, :, 0]

@@ -85,3 +85,38 @@ class TestQuantizedVAE:
         cos = float(f @ q / (np.linalg.norm(f) * np.linalg.norm(q) + 1e-9))
         assert np.isfinite(q).all()
         assert cos > 0.99, cos
+
+
+class TestQuantizedUNet:
+    def test_int8_unet_tracks_float(self):
+        from opendwm_tpu.models.unet import UNetCrossviewTemporal
+
+        cfg = dict(
+            in_channels=8, out_channels=4, block_out_channels=(32, 64),
+            layers_per_block=1, num_attention_heads=(2, 4),
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=24,
+        )
+        fm = UNetCrossviewTemporal(**cfg)
+        qm = UNetCrossviewTemporal(**cfg, quantization="int8")
+        rng = np.random.default_rng(0)
+        inp = dict(
+            sample=jnp.asarray(
+                rng.standard_normal((1, 2, 2, 8, 8, 8), np.float32)
+            ) * 0.5,
+            timestep=jnp.full((1, 2, 2), 500.0),
+            encoder_hidden_states=jnp.asarray(
+                rng.standard_normal((1, 2, 2, 3, 1024), np.float32)
+            ),
+            added_time_ids=jnp.zeros((1, 2, 2, 3)),
+        )
+        fparams = fm.init(jax.random.PRNGKey(0), **inp)
+        qshapes = jax.eval_shape(qm.init, jax.random.PRNGKey(0), **inp)
+        qparams = quantize_param_tree(fparams, qshapes)
+        fout = fm.apply(fparams, **inp)
+        qout = qm.apply(qparams, **inp)
+        f = np.asarray(fout, np.float32).ravel()
+        q = np.asarray(qout, np.float32).ravel()
+        cos = float(f @ q / (np.linalg.norm(f) * np.linalg.norm(q) + 1e-9))
+        assert np.isfinite(q).all()
+        assert cos > 0.99, cos
