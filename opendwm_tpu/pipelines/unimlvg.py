@@ -208,7 +208,7 @@ class UnimlvgPipeline(CTSDPipeline):
         loss = jnp.mean(
             (pred_out.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
         )
-        return loss, {"diffusion_loss": loss}
+        return loss, {"sd_loss": loss}  # reference key (ctsd.py:1368)
 
     def inference_pipeline(
         self,

@@ -126,6 +126,13 @@ def shrink_pipeline(cfg: dict) -> dict:
     if tc:
         tc.pop("freezing_pattern", None)  # pattern targets full-size names
         tc.pop("gradient_accumulation_steps", None)
+    cc = pipe.get("common_config")
+    if cc and "camera_ego_sensor_indices" in cc:
+        # smoke batches use v=2 views and 7 ego/sensor transforms; the
+        # full-size configs list 6 view sensor indices.
+        cc["camera_ego_sensor_indices"] = [
+            min(i, 6) for i in cc["camera_ego_sensor_indices"][:2]
+        ]
     if pipe.get("_class_name") == "LidarDiffusionPipeline":
         # diffusion channels follow the shrunk tokenizer latent width
         ae = pipe["autoencoder"]
@@ -260,7 +267,9 @@ def drive_maskgit(pipe_cfg):
 
 def drive_lidar_diffusion(pipe_cfg):
     pipe = create_instance_from_config(pipe_cfg)
-    batch = lidar_batch(jax.random.PRNGKey(0), bev=128)
+    # bev must land the condition adapter's downscale pyramid exactly on
+    # the shrunk tokenizer's latent grid (2x2 after patching).
+    batch = lidar_batch(jax.random.PRNGKey(0), bev=32)
     ae_params = pipe.autoencoder.init(
         jax.random.PRNGKey(1), batch["lidar_points"],
         batch["lidar_points_mask"], render_rays=False,

@@ -112,7 +112,7 @@ class TestGoldenLosses:
         batch = make_batch(jax.random.PRNGKey(0), b=8)
         state = pipe.init_state(jax.random.PRNGKey(1), batch)
         _, metrics = pipe.train_step(state, batch, jax.random.PRNGKey(2))
-        _check("unimlvg_pred", metrics["diffusion_loss"])
+        _check("unimlvg_pred", metrics["sd_loss"])
 
     def test_lidar_diffusion_first_loss(self):
         import test_lidar_diffusion as tld

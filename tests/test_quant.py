@@ -120,3 +120,30 @@ class TestQuantizedUNet:
         cos = float(f @ q / (np.linalg.norm(f) * np.linalg.norm(q) + 1e-9))
         assert np.isfinite(q).all()
         assert cos > 0.99, cos
+
+
+class TestQuantizeCheckpointCLI:
+    def test_config_driven_quantize(self, tmp_path):
+        """convert.quantize: float ckpt -> int8 tree via the model config."""
+        from opendwm_tpu.convert.quantize import quantize_checkpoint
+        from opendwm_tpu.models.mmdit import DiTCrossviewTemporal
+
+        cfg = {
+            "_class_name":
+                "dwm.models.crossview_temporal_dit"
+                ".DiTCrossviewTemporalConditionModel",
+            **{k: (list(v) if isinstance(v, tuple) else v)
+               for k, v in TINY.items()},
+        }
+        fmodel = DiTCrossviewTemporal(**TINY)
+        inp = make_inputs(jax.random.PRNGKey(1))
+        fparams = fmodel.init(jax.random.PRNGKey(0), **inp)
+        shape = inp["sample"].shape
+        qtree = quantize_checkpoint(cfg, fparams, shape)
+        qmodel = DiTCrossviewTemporal(**TINY, quantization="int8")
+        qout = qmodel.apply(qtree, **inp)
+        fout = fmodel.apply(fparams, **inp)
+        f = np.asarray(fout, np.float32).ravel()
+        q = np.asarray(qout, np.float32).ravel()
+        cos = float(f @ q / (np.linalg.norm(f) * np.linalg.norm(q) + 1e-9))
+        assert cos > 0.995, cos
