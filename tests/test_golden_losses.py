@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ~260 s total: full-suite numerics gate
+
 GOLDEN = {
     # pinned on the virtual 8-device CPU mesh, jax in this image
     "ctsd_sd3": 1.7017796039581299,

@@ -9,6 +9,7 @@ must track the float path closely on real activation scales.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from opendwm_tpu.models.mmdit import DiTCrossviewTemporal
 from opendwm_tpu.ops.quant import (
@@ -44,6 +45,7 @@ class TestInt8Matmul:
         assert rel < 0.01, rel
 
 
+@pytest.mark.slow
 class TestQuantizedDiT:
     def test_int8_model_tracks_float(self):
         fmodel = DiTCrossviewTemporal(**TINY)
@@ -67,6 +69,7 @@ class TestQuantizedDiT:
         assert cos > 0.995, cos
 
 
+@pytest.mark.slow
 class TestQuantizedVAE:
     def test_int8_decode_tracks_float(self):
         from opendwm_tpu.models.autoencoders import AutoencoderKL
@@ -87,6 +90,7 @@ class TestQuantizedVAE:
         assert cos > 0.99, cos
 
 
+@pytest.mark.slow
 class TestQuantizedUNet:
     def test_int8_unet_tracks_float(self):
         from opendwm_tpu.models.unet import UNetCrossviewTemporal
