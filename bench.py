@@ -42,6 +42,11 @@ def flops_per_frame(cfg: dict, tokens_per_view: int, views: int, ctx: int):
 
 def main(train: bool = False, e2e: bool = False, int8: bool = False,
          remat_dots: bool = False):
+    if train and int8:
+        raise SystemExit(
+            "--train --int8 is not a meaningful workload (training on "
+            "frozen int8 weights); pick one."
+        )
     dev = jax.devices()[0]
     platform = dev.platform
 
@@ -384,8 +389,7 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
         "metric": (
             "ctsd35_trainstep_frames_per_sec_per_chip" if train
             else "ctsd35_denoiser_frames_per_sec_per_chip"
-            + ("_int8" if int8 else "")
-        ),
+        ) + ("_int8" if int8 else ""),
         "value": round(frames_per_sec, 3),
         "unit": unit,
         "vs_baseline": round(frames_per_sec / a100_fps, 3),

@@ -108,6 +108,10 @@ class PrefetchLoader:
             # Two producers feeding one queue would interleave batches;
             # stop the previous iteration's producer first.
             self.close()
+        if self._stop.is_set():
+            # Fresh stop/queue after close() (explicit or via the branch
+            # above) — a producer started with a set stop flag would exit
+            # without ever enqueuing the sentinel, hanging the consumer.
             self._stop = threading.Event()
             self._queue = queue.Queue(self.prefetch_batches)
         self._thread = threading.Thread(

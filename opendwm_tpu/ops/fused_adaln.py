@@ -125,7 +125,9 @@ def _res_reference(x, delta, gate, scale, shift, eps):
         jnp.float32
     )
     xn = xn32.astype(x.dtype)
-    return xn, _reference(xn32, scale, shift, eps)
+    # Second output must be x.dtype (matching the Pallas forward) so that
+    # custom_vjp cotangent dtypes agree under bf16 inputs.
+    return xn, _reference(xn, scale, shift, eps)
 
 
 def _res_forward(x, delta, gate, scale, shift, eps, block_l):

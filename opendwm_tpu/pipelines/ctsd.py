@@ -262,20 +262,36 @@ def get_conditions(
     return conds
 
 
+# Batch keys whose axis 1 is the time (frame) axis. Only these are
+# window-sliced in the autoregressive rollout; anything else (e.g. a
+# (b, seq, dim) sequence embedding or a square attention mask) passes
+# through untouched rather than being silently mis-sliced on a
+# non-time axis.
+TIME_INDEXED_KEYS = frozenset({
+    "latents", "vae_images", "images",
+    "3dbox_images", "hdmap_images",
+    "encoder_hidden_states", "pooled_projections",
+    "uncond_encoder_hidden_states", "uncond_pooled_projections",
+    "camera_intrinsics", "camera_transforms", "ego_transforms",
+    "added_time_ids", "image_segmentation", "depth_images",
+})
+
+
 def slice_batch_time_window(batch: dict, start: int, length: int) -> dict:
     """Per-window view of a long-horizon condition batch.
 
-    Leaves whose axis 1 holds more than ``length`` frames are sliced to the
-    window's absolute frame range ``[start, start+length)`` (clamped to the
-    available frames, so a ragged final window reuses the tail). Leaves
-    already at window length — or without a time axis — pass through
-    unchanged. Mirrors reference per-window condition re-slicing
-    (src/dwm/pipelines/ctsd.py:1726-1801).
+    Time-indexed leaves (``TIME_INDEXED_KEYS``) whose axis 1 holds more
+    than ``length`` frames are sliced to the window's absolute frame range
+    ``[start, start+length)`` (clamped to the available frames, so a ragged
+    final window reuses the tail). Leaves already at window length — or not
+    time-indexed — pass through unchanged. Mirrors reference per-window
+    condition re-slicing (src/dwm/pipelines/ctsd.py:1726-1801).
     """
     out = {}
     for key, val in batch.items():
         if (
-            hasattr(val, "ndim") and val.ndim >= 2
+            key in TIME_INDEXED_KEYS
+            and hasattr(val, "ndim") and val.ndim >= 2
             and val.shape[1] > length
         ):
             s = max(0, min(start, val.shape[1] - length))

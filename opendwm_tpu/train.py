@@ -272,23 +272,29 @@ def main(args=None):
     if args.profile_steps:
         parts = args.profile_steps.split(":")
         profile_start = int(parts[0])
-        profile_count = int(parts[1]) if len(parts) > 1 else 3
+        # COUNT=0 would leave the trace unterminated (stop condition
+        # global_step == start + count could never fire after start).
+        profile_count = max(1, int(parts[1])) if len(parts) > 1 else 3
 
     from opendwm_tpu.utils import profiling
 
     batch = device_batch
-    while global_step < max_steps:
+    trace_active = False
+    try:
+      while global_step < max_steps:
         if global_step == profile_start:
             jax.profiler.start_trace(
                 os.path.join(args.output_path, "profile")
             )
+            trace_active = True
         t0 = time.time()
         rng, step_rng = jax.random.split(rng)
         state, metrics = pipeline.train_step(state, batch, step_rng)
         global_step += 1
-        if profile_start >= 0 and global_step == profile_start + profile_count:
+        if trace_active and global_step >= profile_start + profile_count:
             jax.block_until_ready(metrics)
             jax.profiler.stop_trace()
+            trace_active = False
             logger.log(global_step, dict(
                 profile_written=1.0, **profiling.device_memory_stats()
             ))
@@ -341,6 +347,11 @@ def main(args=None):
             )
 
         batch = to_device_batch(next(loader), pipeline.mesh)
+    finally:
+        if trace_active:
+            # Loop exited (max_steps or exception) with a trace still
+            # open — flush it so the capture is not lost.
+            jax.profiler.stop_trace()
 
     ckpt_lib.save_checkpoint(args.output_path, global_step, state)
     print(f"done at step {global_step}")

@@ -78,7 +78,7 @@ class TestUnimlvg:
         batch = make_batch(jax.random.PRNGKey(0), b=8)
         state = pipe.init_state(jax.random.PRNGKey(1), batch)
         state, m = pipe.train_step(state, batch, jax.random.PRNGKey(2))
-        assert np.isfinite(float(m["diffusion_loss"]))
+        assert np.isfinite(float(m["sd_loss"]))
         lat = pipe.inference_pipeline(
             state.params, batch, (8, T, V, H, W, C), jax.random.PRNGKey(3),
             image_latents=batch["latents"],
@@ -92,7 +92,7 @@ class TestUnimlvg:
         batch = make_batch(jax.random.PRNGKey(0), b=8)
         state = pipe.init_state(jax.random.PRNGKey(1), batch)
         state, m = pipe.train_step(state, batch, jax.random.PRNGKey(2))
-        assert np.isfinite(float(m["diffusion_loss"]))
+        assert np.isfinite(float(m["sd_loss"]))
 
     def test_init_state_uses_ar_channels(self):
         pipe = make_pipe("vista", in_ch=2 * C + 1)
