@@ -1,6 +1,7 @@
 """Carla tools: camera conversion math + scene setup over a fake client."""
 
 import json
+import os
 import math
 import random
 
@@ -257,3 +258,84 @@ class TestSteeringControl:
         n = len(vehicle.controls)
         ctrl.poll()  # autopilot on → no manual control applied
         assert len(vehicle.controls) == n
+
+
+class TestTown10SimConfigs:
+    """The generated Town10 sim configs drive a full fake-client scene."""
+
+    ROOT = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "experimental", "simulation")
+
+    def test_generator_matches_committed_configs(self, tmp_path,
+                                                 monkeypatch):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "make_town10", os.path.join(self.ROOT,
+                                        "make_town10_sim_configs.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        for views in (3, 6):
+            with open(os.path.join(
+                    self.ROOT,
+                    f"carla_simulation_town10_nusc_{views}views.json")) as f:
+                committed = json.load(f)
+            assert committed == mod.build(views)
+
+    def test_scene_spawns_over_fake_client(self, monkeypatch):
+        import sys
+
+        import opendwm_tpu.utils.carla_state_machines  # noqa: F401
+        from opendwm_tpu.tools.carla_simulation import make_actor
+
+        # BevSpectator does ``import carla`` at construction.
+        monkeypatch.setitem(sys.modules, "carla", FakeCarlaModule)
+
+        class FakeSpectator:
+            def set_transform(self, t):
+                pass
+
+        class FakeSceneWorld(FakeWorld):
+            def get_spectator(self):
+                return FakeSpectator()
+
+        world = FakeSceneWorld()
+
+        def get_world(actor_self=None):
+            return world
+
+        FakeActor.get_world = get_world
+
+        with open(os.path.join(
+                self.ROOT,
+                "carla_simulation_town10_nusc_6views.json")) as f:
+            cfg = json.load(f)
+        lib = FakeLibrary([
+            "vehicle.lincoln.mkz_2017", "sensor.camera.rgb",
+            "sensor.camera.semantic_segmentation", "vehicle.audi.a2",
+            "vehicle.tesla.model3", "vehicle.nissan.micra",
+            "vehicle.mercedes.coupe", "walker.pedestrian.0001",
+            "controller.ai.walker",
+        ])
+        spawn_points = [f"sp{i}" for i in range(120)]
+        actors = [
+            make_actor(world, lib, spawn_points, a, random.Random(0),
+                       FakeCarlaModule)
+            for a in cfg["actor_configs"]
+        ]
+        assert len(actors) == 14
+        hero, hero_sm, cams = actors[0]
+        assert hero.attributes["role_name"] == "hero"
+        assert hero_sm is not None  # BevSpectator constructed
+        assert len(cams) == 12  # 6 views x (rgb + semseg)
+        roles = {c.attributes["role_name"] for c, _, _ in cams}
+        assert roles == {
+            "CAM_FRONT", "CAM_FRONT_LEFT", "CAM_FRONT_RIGHT",
+            "CAM_BACK", "CAM_BACK_LEFT", "CAM_BACK_RIGHT",
+        }
+        # every traffic vehicle autopilots; walkers carry AI controllers
+        for veh, _, _ in (a for a in actors[1:10]):
+            assert veh.autopilot is True
+        for _, _, kids in actors[10:]:
+            (ctl, ctl_sm, _), = kids
+            assert ctl_sm is not None  # ClassicPedestrian
