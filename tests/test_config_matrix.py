@@ -60,6 +60,10 @@ def shrink_node(node):
         if node.get("temporal_block_layers"):
             node["temporal_block_layers"] = [1]
         node.pop("dtype", None)
+        # ring attention needs a bound mesh axis (shard_map); the generic
+        # single-device smoke drops it — tests/test_sp_config.py drives the
+        # sp config's model under a real tp mesh instead.
+        node.pop("sequence_parallel_axis", None)
         if node.get("condition_image_adapter_config"):
             a = node["condition_image_adapter_config"]
             a["channels"] = [16] * len(a["channels"])
