@@ -126,6 +126,7 @@ class TestQuantizedUNet:
         assert cos > 0.99, cos
 
 
+@pytest.mark.slow
 class TestQuantizeCheckpointCLI:
     def test_config_driven_quantize(self, tmp_path):
         """convert.quantize: float ckpt -> int8 tree via the model config."""

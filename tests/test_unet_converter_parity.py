@@ -49,6 +49,7 @@ def make_inputs():
     )
 
 
+@pytest.mark.slow
 class TestUNetConverterParity:
     def test_forward_matches_torch_oracle(self, oracle):
         sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}

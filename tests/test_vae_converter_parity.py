@@ -33,6 +33,7 @@ def oracle():
     return m
 
 
+@pytest.mark.slow
 class TestVAEConverterParity:
     def test_forward_matches_torch_oracle(self, oracle):
         sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
