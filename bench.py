@@ -43,7 +43,13 @@ def flops_per_frame(cfg: dict, tokens_per_view: int, views: int, ctx: int):
 
 def _param_filler(dev):
     """Shape-tree filler: tiled small host randoms in bf16 (skips the real
-    initializer — 3.8B-param xavier on the single host core takes ~1h)."""
+    initializer — 3.8B-param xavier on the single host core takes ~1h).
+
+    Float params are stored in bf16 regardless of the init tree's dtype:
+    flax's param_dtype default is f32, but the served weights (converted
+    released checkpoints, convert/cli.py) are bf16, and f32 residency both
+    doubles HBM traffic on every weight read and overflows the 16 GB chip
+    for the fused e2e window program (args alone were 14.07 GiB f32)."""
     host_rng = np.random.default_rng(0)
     base = (host_rng.standard_normal(1 << 20, dtype=np.float32) * 0.02)
     base = base.astype(jnp.bfloat16)  # ml_dtypes-backed numpy cast
@@ -57,7 +63,7 @@ def _param_filler(dev):
             )
         reps = -(-n // base.size)
         buf = np.tile(base, reps)[:n].reshape(s.shape)
-        if buf.dtype != s.dtype:
+        if not jnp.issubdtype(s.dtype, jnp.floating):
             buf = buf.astype(s.dtype)
         return jax.device_put(buf, dev)
 

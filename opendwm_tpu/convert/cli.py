@@ -53,11 +53,26 @@ def main(argv=None):
     parser.add_argument("--input", required=True)
     parser.add_argument("--output", required=True)
     parser.add_argument("--num-layers", type=int, default=24)
+    parser.add_argument(
+        "--dtype", default=None, choices=("bf16", "f32"),
+        help="cast float leaves before saving (bf16 is the TPU serving "
+        "dtype: halves checkpoint size and weight-streaming HBM traffic; "
+        "default keeps the source dtypes)",
+    )
     args = parser.parse_args(argv)
 
     sd = ti.load_torch_state_dict(args.input)
     sd = sd21_to_svd_keys(sd)
     tree = CONVERTERS[args.kind](sd, args)
+    if args.dtype:
+        import jax.numpy as jnp
+        import numpy as np
+
+        target = jnp.bfloat16 if args.dtype == "bf16" else np.float32
+        tree = _map_leaves(
+            lambda v: v.astype(target)
+            if np.issubdtype(v.dtype, np.floating) else v, tree,
+        )
     ckpt_lib.save_model_only(args.output, tree)
     n = sum(
         v.size for v in _leaves(tree)
@@ -71,6 +86,12 @@ def _leaves(tree):
             yield from _leaves(v)
     else:
         yield tree
+
+
+def _map_leaves(fn, tree):
+    if isinstance(tree, dict):
+        return {k: _map_leaves(fn, v) for k, v in tree.items()}
+    return fn(tree)
 
 
 if __name__ == "__main__":
