@@ -23,15 +23,16 @@ import jax
 import jax.numpy as jnp
 
 
-def trilinear_grid_query(
-    grid: jax.Array, xyz: jax.Array, xyz_min, xyz_max
-) -> jax.Array:
-    """Sample ``grid`` (C, D, H, W) at world points (..., 3) with
-    align_corners=True semantics (reference dvgo_utils.grid_query:41-53).
+def _corner_fracs(grid_shape, xyz, xyz_min, xyz_max):
+    """Base corner indices + interpolation fractions, align_corners=True.
 
-    grid axes are (z, y, x) like the reference; xyz is world (x, y, z).
+    The floor index is clipped to ``size-2`` so the +1 corner is always
+    in-range: for in-range coordinates this is numerically identical to
+    clipping both corners independently (at fx == size-1 the fraction
+    becomes exactly 1, selecting the last voxel), and out-of-range points
+    are masked by the caller's ``inside`` test anyway.
     """
-    c, d, h, w = grid.shape
+    d, h, w = grid_shape
     xyz_min = jnp.asarray(xyz_min, jnp.float32)
     xyz_max = jnp.asarray(xyz_max, jnp.float32)
     norm = (xyz - xyz_min) / (xyz_max - xyz_min)  # 0..1
@@ -39,18 +40,61 @@ def trilinear_grid_query(
     fx = norm[..., 0] * (w - 1)
     fy = norm[..., 1] * (h - 1)
     fz = norm[..., 2] * (d - 1)
-
-    x0 = jnp.clip(jnp.floor(fx), 0, w - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(fy), 0, h - 1).astype(jnp.int32)
-    z0 = jnp.clip(jnp.floor(fz), 0, d - 1).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    z1 = jnp.minimum(z0 + 1, d - 1)
+    x0 = jnp.clip(jnp.floor(fx), 0, max(w - 2, 0)).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(fy), 0, max(h - 2, 0)).astype(jnp.int32)
+    z0 = jnp.clip(jnp.floor(fz), 0, max(d - 2, 0)).astype(jnp.int32)
     tx = jnp.clip(fx - x0, 0.0, 1.0)[..., None]
     ty = jnp.clip(fy - y0, 0.0, 1.0)[..., None]
     tz = jnp.clip(fz - z0, 0.0, 1.0)[..., None]
+    return (z0, y0, x0), (tz, ty, tx)
 
+
+def trilinear_grid_query(
+    grid: jax.Array, xyz: jax.Array, xyz_min, xyz_max,
+    mode: str = "block",
+) -> jax.Array:
+    """Sample ``grid`` (C, D, H, W) at world points (..., 3) with
+    align_corners=True semantics (reference dvgo_utils.grid_query:41-53).
+
+    grid axes are (z, y, x) like the reference; xyz is world (x, y, z).
+
+    mode="corner8": eight advanced-index gathers (one per cell corner).
+    mode="block": ONE ``lax.gather`` fetching the 2x2x2xC corner block per
+    point — same values, an eighth of the gather dispatches; measured
+    faster on TPU where the render is gather-bound (perf/exp_lidar.py).
+    """
+    c, d, h, w = grid.shape
+    (z0, y0, x0), (tz, ty, tx) = _corner_fracs((d, h, w), xyz, xyz_min,
+                                               xyz_max)
     gf = grid.transpose(1, 2, 3, 0)  # (D, H, W, C), channel-last gathers
+
+    if mode == "block" and min(d, h, w) < 2:
+        mode = "corner8"  # slice size 2 needs every spatial dim >= 2
+
+    if mode == "block":
+        batch_shape = x0.shape
+        starts = jnp.stack(
+            [z0.reshape(-1), y0.reshape(-1), x0.reshape(-1)], axis=-1
+        )
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3, 4),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1, 2),
+        )
+        blk = jax.lax.gather(
+            gf, starts, dnums, slice_sizes=(2, 2, 2, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (P, 2, 2, 2, C) — [z, y, x] corner offsets
+        blk = blk.reshape(batch_shape + (2, 2, 2, c))
+        cz = blk[..., 0, :, :, :] * (1 - tz[..., None, None]) \
+            + blk[..., 1, :, :, :] * tz[..., None, None]
+        cy = cz[..., 0, :, :] * (1 - ty[..., None]) \
+            + cz[..., 1, :, :] * ty[..., None]
+        return cy[..., 0, :] * (1 - tx) + cy[..., 1, :] * tx
+
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    z1 = jnp.minimum(z0 + 1, d - 1)
 
     def g(zi, yi, xi):
         return gf[zi, yi, xi]
@@ -113,6 +157,7 @@ class DVGORenderer:
     stepsize: float
     max_steps: int
     near: float = 0.0
+    query_mode: str = "block"  # see trilinear_grid_query
 
     def __call__(
         self,
@@ -150,15 +195,24 @@ class DVGORenderer:
             & jnp.all(pts < xyz_max, -1)
         )
 
-        feats = trilinear_grid_query(grid, pts, xyz_min, xyz_max)  # (N,S,C)
+        feats = trilinear_grid_query(
+            grid, pts, xyz_min, xyz_max, mode=self.query_mode
+        )  # (N, S, C)
         alpha = jax.nn.sigmoid(mlp(feats))
         alpha = alpha.reshape(n, self.max_steps)
         alpha = jnp.where(inside, alpha, 0.0)
 
         weights, alphainv_last = alphas_to_weights(alpha)
 
-        # free-space loss: weight mass before the ground-truth return
-        dist_from_origin = jnp.linalg.norm(pts - rays_o[:, None, :], axis=-1)
+        # free-space loss: weight mass before the ground-truth return.
+        # Without offsets, |pts - rays_o| is exactly the march distance t
+        # (unit direction) — skip the (N, S, 3) norm.
+        if offsets is None:
+            dist_from_origin = t
+        else:
+            dist_from_origin = jnp.linalg.norm(
+                pts - rays_o[:, None, :], axis=-1
+            )
         before_return = (norm_d[:, None] - dist_from_origin) > self.near
         loss_sdf = jnp.mean(
             jnp.sum(jnp.where(before_return, weights**2, 0.0), axis=-1)

@@ -109,6 +109,39 @@ class TestDVGO:
         assert float(alphainv[0]) < 1e-3
         assert np.isfinite(float(loss_sdf))
 
+    def test_block_gather_matches_corner8(self):
+        # The single-gather 2x2x2 block query must equal the 8-gather
+        # path for in-range points (out-of-range points are masked by the
+        # renderer's ``inside`` test, so only in-range equality matters).
+        rng = np.random.default_rng(0)
+        grid = jnp.asarray(rng.standard_normal((5, 4, 6, 7)), jnp.float32)
+        pts = jnp.asarray(
+            rng.uniform(-1.0, 1.0, (3, 11, 3)), jnp.float32
+        )
+        a = trilinear_grid_query(grid, pts, (-1, -1, -1), (1, 1, 1),
+                                 mode="corner8")
+        b = trilinear_grid_query(grid, pts, (-1, -1, -1), (1, 1, 1),
+                                 mode="block")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_render_query_modes_agree(self):
+        rng = np.random.default_rng(1)
+        grid = jnp.asarray(rng.standard_normal((1, 4, 8, 8)), jnp.float32)
+        rays_o = jnp.zeros((8, 3))
+        rays_d = jnp.asarray(rng.uniform(-3, 3, (8, 3)), jnp.float32)
+        kw = dict(xyz_min=(-4, -4, -1), xyz_max=(4, 4, 1),
+                  stepsize=0.2, max_steps=50)
+        d1, s1, a1 = DVGORenderer(**kw, query_mode="corner8")(
+            lambda f: f[..., 0], rays_o, rays_d, grid)
+        d2, s2, a2 = DVGORenderer(**kw, query_mode="block")(
+            lambda f: f[..., 0], rays_o, rays_d, grid)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(s1), float(s2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_differentiable(self):
         grid = jnp.zeros((1, 4, 8, 8))
         renderer = DVGORenderer(
