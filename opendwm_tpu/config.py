@@ -37,6 +37,9 @@ _ALLOWED_IMPORT_PREFIXES = (
     "jax.numpy.",
     "optax.",
     "numpy.",
+    # the reference's storage presets name fsspec classes directly
+    # (configs/fs/local.json there)
+    "fsspec.",
 )
 
 

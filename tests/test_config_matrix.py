@@ -23,7 +23,19 @@ CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 ALL_CONFIGS = sorted(
     glob.glob(os.path.join(CONFIG_DIR, "**", "*.json"), recursive=True)
 )
-assert len(ALL_CONFIGS) >= 20, ALL_CONFIGS
+
+
+def _is_recipe(path):
+    """Training recipes carry a ``pipeline`` block; storage presets
+    (configs/fs/, covered by tests/test_fs_preset_configs.py) and Carla
+    scene descriptions (configs/experimental/simulation/, covered by
+    tests/test_carla_tools.py) do not."""
+    with open(path) as f:
+        return "pipeline" in json.load(f)
+
+
+RECIPE_CONFIGS = [p for p in ALL_CONFIGS if _is_recipe(p)]
+assert len(RECIPE_CONFIGS) >= 20, RECIPE_CONFIGS
 
 
 # ---------------------------------------------------------------------------
@@ -309,8 +321,8 @@ _JITTED_FAMILIES: set = set()
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "path", ALL_CONFIGS,
-    ids=[os.path.relpath(p, CONFIG_DIR) for p in ALL_CONFIGS],
+    "path", RECIPE_CONFIGS,
+    ids=[os.path.relpath(p, CONFIG_DIR) for p in RECIPE_CONFIGS],
 )
 def test_config_recipe_trains_one_step(path):
     with open(path) as f:
