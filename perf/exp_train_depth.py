@@ -35,7 +35,8 @@ def run_depth(layers: int):
         if line.startswith("{"):
             return json.loads(line)
     print(f"depth {layers} failed:\n{proc.stderr[-2000:]}")
-    return None
+    err = [ln for ln in proc.stderr.splitlines() if "Error" in ln]
+    return {"error": (err[-1][:300] if err else "no output")}
 
 
 def main(depths):
@@ -43,8 +44,9 @@ def main(depths):
     for d in depths:
         print(f"=== depth {d} ===", flush=True)
         r = run_depth(d)
-        if r is None:
-            results.append({"layers": d, "status": "failed (likely OOM)"})
+        if "error" in r:
+            results.append({"layers": d, "status": "failed",
+                            "error": r["error"]})
             continue
         r["layers"] = d
         r["step_seconds"] = round(6.0 / r["value"], 4) if r["value"] else None

@@ -310,13 +310,13 @@ DRIVERS = {
 
 
 # Compile-cost control (VERDICT r2 weak #7: the naive matrix took 80 min,
-# so it was never run and rotted): (a) configs whose SHRUNK pipeline is
+# so it was never run and rotted): configs whose SHRUNK pipeline is
 # byte-identical share one execution — dataset-only and warmup variants
-# collapse; (b) only the first config of each pipeline family pays a real
-# XLA train-step compile, the rest run eagerly (jax.disable_jit) which
-# still executes the full step math on the tiny shapes in seconds.
+# collapse. Every unique config runs JITTED: at the conftest's XLA
+# optimization level 0 a jitted step measured 71 s vs 237 s eager
+# (per-op dispatch on the 1-core host), and compiled programs land in the
+# persistent cache so repeat suite runs skip the compile entirely.
 _SEEN_SHRUNK: dict = {}
-_JITTED_FAMILIES: set = set()
 
 
 @pytest.mark.slow
@@ -334,10 +334,6 @@ def test_config_recipe_trains_one_step(path):
     key = json.dumps(pipe_cfg, sort_keys=True)
     if key in _SEEN_SHRUNK:
         value = _SEEN_SHRUNK[key]
-    elif cls not in _JITTED_FAMILIES:
-        _JITTED_FAMILIES.add(cls)
-        value = _SEEN_SHRUNK.setdefault(key, driver(pipe_cfg))
     else:
-        with jax.disable_jit():
-            value = _SEEN_SHRUNK.setdefault(key, driver(pipe_cfg))
+        value = _SEEN_SHRUNK.setdefault(key, driver(pipe_cfg))
     assert np.isfinite(value), (path, value)
