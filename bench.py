@@ -189,6 +189,13 @@ def run_lidar_bench():
     with open(os.path.join(
             here, "configs", "lidar", "lidar_maskgit_layout_ns.json")) as f:
         cfg = _json.load(f)["pipeline"]
+    bf16 = {"_class_name": "get_class", "class_name": "jnp.bfloat16"}
+    if full:
+        # serving dtype: bf16 compute throughout (weights are already
+        # filled bf16; f32 compute would halve the MXU rate)
+        cfg["vq_point_cloud"]["lidar_encoder"]["dtype"] = dict(bf16)
+        cfg["vq_point_cloud"]["lidar_decoder"]["dtype"] = dict(bf16)
+        cfg["bi_directional_transformer"]["dtype"] = dict(bf16)
     if not full:  # CI shrink: same architecture, tiny dims
         vq = cfg["vq_point_cloud"]
         for part in ("lidar_encoder", "lidar_decoder"):

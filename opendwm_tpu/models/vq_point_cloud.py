@@ -36,6 +36,7 @@ import numpy as np
 
 from opendwm_tpu.config import register
 from opendwm_tpu.models.layers import sincos_pos_embed_2d
+from opendwm_tpu.ops.attention import dot_product_attention
 from opendwm_tpu.ops.dvgo import DVGORenderer
 from opendwm_tpu.ops.voxelize import Voxelizer
 
@@ -81,10 +82,12 @@ class WindowAttention(nn.Module):
         ws = self.window_size
         hd = c // self.heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
+        # (nw, l, heads, hd) — the natural BSHD layout of the shared
+        # attention op; no head transposes (at ws=2 the windows are
+        # 4-token sequences, which the op routes to the VPU tiny-seq
+        # path on TPU instead of ~2%-occupied MXU tiles).
         q, k, v = jnp.split(qkv.reshape(nw, l, 3, self.heads, hd), 3, 2)
-        q = q.squeeze(2).transpose(0, 2, 1, 3)  # (nw, heads, l, hd)
-        k = k.squeeze(2).transpose(0, 2, 1, 3)
-        v = v.squeeze(2).transpose(0, 2, 1, 3)
+        q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)
 
         bias_table = self.param(
             "relative_position_bias_table",
@@ -93,20 +96,20 @@ class WindowAttention(nn.Module):
         )
         idx = relative_position_index(ws)
         bias = jnp.asarray(bias_table)[idx.reshape(-1)]
+        # (1, heads, l, l)
         bias = bias.reshape(l, l, self.heads).transpose(2, 0, 1)[None]
-
-        logits = jnp.einsum(
-            "nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32
-        ) * (hd ** -0.5)
-        logits = logits + bias.astype(jnp.float32)
+        bias = bias.astype(jnp.float32)
         if mask is not None:
             nm = mask.shape[0]
-            logits = logits.reshape(nw // nm, nm, self.heads, l, l)
-            logits = logits + mask[None, :, None].astype(jnp.float32)
-            logits = logits.reshape(nw, self.heads, l, l)
-        probs = jax.nn.softmax(logits, -1).astype(v.dtype)
-        out = jnp.einsum("nhqk,nhkd->nhqd", probs, v)
-        out = out.transpose(0, 2, 1, 3).reshape(nw, l, c)
+            # fold the shifted-window mask in: (nm, 1, l, l) + rel bias,
+            # tiled over the nw // nm window groups
+            bias = bias + mask[:, None].astype(jnp.float32)  # (nm, h, l, l)
+            bias = jnp.broadcast_to(
+                bias[None], (nw // nm,) + bias.shape
+            ).reshape(nw, self.heads, l, l)
+
+        out = dot_product_attention(q, k, v, bias, scale=hd ** -0.5)
+        out = out.reshape(nw, l, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 

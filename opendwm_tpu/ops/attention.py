@@ -61,7 +61,9 @@ _TINY_MAX_SEQ = 16
 
 
 def _can_use_tiny(q, k, bias, is_causal, backend_hint) -> bool:
-    if backend_hint == "xla" or bias is not None or is_causal:
+    if backend_hint == "xla" or is_causal:
+        return False
+    if bias is not None and bias.ndim != 4:
         return False
     platform = jax.devices()[0].platform if jax.devices() else "cpu"
     return (
@@ -71,16 +73,20 @@ def _can_use_tiny(q, k, bias, is_causal, backend_hint) -> bool:
     )
 
 
-def _tiny_seq_attention(q, k, v, scale):
+def _tiny_seq_attention(q, k, v, scale, bias=None):
     """Dot-free attention for tiny sequences (the temporal ``pointwise``
-    branch attends over t ≤ 8 frames per spatial token).
+    branch attends over t ≤ 8 frames per spatial token; the LiDAR Swin
+    window branch attends over ws² = 4 tokens per window).
 
     XLA lowers the einsum formulation of this shape as ~64k batched 6x64x6
     matmuls — 128-wide MXU tiles run ~2% occupied — plus (N,S,H,D) head
     transposes; measured 8.4 ms per temporal branch on v5e. Expressing the
     scores as broadcast-multiply + reduce keeps everything on the VPU in
     the natural layout (the FLOPs are trivial): measured 23.1 → 18.2 ms
-    per branch in context (perf/exp_tinyattn.py)."""
+    per branch in context (perf/exp_tinyattn.py).
+
+    ``bias``: optional additive ``(b_or_1, heads, q_seq, kv_seq)`` term
+    (relative-position bias / shifted-window mask)."""
     s = q.shape[1]
     q32 = q.astype(jnp.float32)
     k32 = k.astype(jnp.float32)
@@ -88,6 +94,8 @@ def _tiny_seq_attention(q, k, v, scale):
         [jnp.sum(q32 * k32[:, j][:, None], axis=-1) for j in range(s)],
         axis=2,
     ) * scale                                   # (b, i, j, h)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32).transpose(0, 2, 3, 1)
     m = jnp.max(logits, axis=2, keepdims=True)
     e = jnp.exp(logits - m)
     p = e / jnp.sum(e, axis=2, keepdims=True)
@@ -178,7 +186,7 @@ def dot_product_attention(
         )
         return out.transpose(0, 2, 1, 3).astype(q.dtype)
     if _can_use_tiny(q, k, bias, is_causal, backend):
-        return _tiny_seq_attention(q, k, v, scale).astype(q.dtype)
+        return _tiny_seq_attention(q, k, v, scale, bias).astype(q.dtype)
     if _can_use_tail_masked(q, k, bias, is_causal, backend):
         from opendwm_tpu.ops.flash_tail import tail_masked_attention
 

@@ -154,6 +154,31 @@ class TestAttention:
         ref = self._naive(q, k[:, :3], v[:, :3])
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
 
+    def test_tiny_seq_path_matches_naive_with_bias(self):
+        # the VPU tiny-sequence formulation (used on TPU for seq<=16, e.g.
+        # the 4-token Swin windows) must agree with the einsum math,
+        # including an additive (1-or-b, h, q, k) bias
+        from opendwm_tpu.ops.attention import _tiny_seq_attention
+
+        rng = np.random.default_rng(3)
+        q = rng.standard_normal((6, 4, 2, 8), dtype=np.float32)
+        k = rng.standard_normal((6, 4, 2, 8), dtype=np.float32)
+        v = rng.standard_normal((6, 4, 2, 8), dtype=np.float32)
+        for bias in (
+            None,
+            rng.standard_normal((1, 2, 4, 4), dtype=np.float32),
+            rng.standard_normal((6, 2, 4, 4), dtype=np.float32),
+        ):
+            out = _tiny_seq_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                1.0 / np.sqrt(8),
+                None if bias is None else jnp.asarray(bias),
+            )
+            np.testing.assert_allclose(
+                np.asarray(out), self._naive(q, k, v, bias),
+                rtol=1e-5, atol=1e-5,
+            )
+
     def test_causal(self):
         rng = np.random.default_rng(2)
         q = rng.standard_normal((1, 5, 1, 4), dtype=np.float32)
