@@ -41,18 +41,28 @@ def flops_per_frame(cfg: dict, tokens_per_view: int, views: int, ctx: int):
     return (linear + attn) * 1.2 * 2  # *2: dual-ish extras, rough
 
 
-def _param_filler(dev):
+def _param_filler(dev, keep_tree_dtype: bool = False):
     """Shape-tree filler: tiled small host randoms in bf16 (skips the real
     initializer — 3.8B-param xavier on the single host core takes ~1h).
 
-    Float params are stored in bf16 regardless of the init tree's dtype:
-    flax's param_dtype default is f32, but the served weights (converted
-    released checkpoints, convert/cli.py) are bf16, and f32 residency both
-    doubles HBM traffic on every weight read and overflows the 16 GB chip
-    for the fused e2e window program (args alone were 14.07 GiB f32)."""
+    Serving (default): float params are stored in bf16 regardless of the
+    init tree's dtype — flax's param_dtype default is f32, but the served
+    weights (converted released checkpoints, convert/cli.py) are bf16, and
+    f32 residency both doubles HBM traffic on every weight read and
+    overflows the 16 GB chip for the fused e2e window program (args alone
+    were 14.07 GiB f32).
+
+    Training (keep_tree_dtype=True): respect the init tree's dtype — f32
+    master weights, the standard mixed-precision recipe (compute stays bf16
+    via the model's dtype). Round 3 trained on bf16 masters and the grad
+    program collapsed: the step ran at 2.0 f/s where f32 masters give
+    10.7, and at bench depths the backward's XLA compile blew past 25
+    minutes (the 'failed (likely OOM)' sweep of BENCH_TRAIN_SWEEP r3 was
+    actually this compile explosion — diagnosed round 4 with
+    perf/diag_train.py)."""
     host_rng = np.random.default_rng(0)
     base = (host_rng.standard_normal(1 << 20, dtype=np.float32) * 0.02)
-    base = base.astype(jnp.bfloat16)  # ml_dtypes-backed numpy cast
+    base16 = base.astype(jnp.bfloat16)  # ml_dtypes-backed numpy cast
     int_rng = np.random.default_rng(1)
 
     def fill(s):
@@ -62,9 +72,12 @@ def _param_filler(dev):
                 int_rng.integers(-127, 128, n, np.int8).reshape(s.shape), dev
             )
         reps = -(-n // base.size)
-        buf = np.tile(base, reps)[:n].reshape(s.shape)
-        if not jnp.issubdtype(s.dtype, jnp.floating):
-            buf = buf.astype(s.dtype)
+        if keep_tree_dtype:
+            buf = np.tile(base, reps)[:n].reshape(s.shape).astype(s.dtype)
+        else:
+            buf = np.tile(base16, reps)[:n].reshape(s.shape)
+            if not jnp.issubdtype(s.dtype, jnp.floating):
+                buf = buf.astype(s.dtype)
         return jax.device_put(buf, dev)
 
     return fill
@@ -146,7 +159,7 @@ def build_denoiser_setup(int8: bool = False, train: bool = False,
         added_time_ids=jax.random.normal(ks[3], (1, t, v, 11)),
     )
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(1), **inputs)
-    fill = _param_filler(dev)
+    fill = _param_filler(dev, keep_tree_dtype=train)
     params = jax.tree.map(
         fill, shapes, is_leaf=lambda x: hasattr(x, "shape")
     )
@@ -304,10 +317,137 @@ def run_lidar_bench():
     print(json.dumps(result))
 
 
+def run_streaming_bench(int8: bool = False):
+    """Interactive streaming latency (VERDICT r3 item 5): steady-state
+    ms/frame of the FIFO diffusion pipeline (pipelines/ctsd_streaming.py,
+    reference ctsd.py:2193-2219) at flagship scale — one tick = push one
+    frame condition, advance the 6-frame ladder by steps_per_inference
+    denoise iterations (sequential CFG), pop + VAE-decode the completed
+    frame. The whole point of streaming is constant per-frame latency;
+    this measures it."""
+    from opendwm_tpu.pipelines.ctsd_streaming import StreamingCTSDPipeline
+    from opendwm_tpu.schedulers import FlowMatchEulerScheduler
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+    full = platform == "tpu"
+    model, params, inputs, cfg, geom = build_denoiser_setup(int8=int8)
+    t, v, h, w, ctx_len = geom
+    d_model = cfg["heads"] * cfg["head_dim"]
+    n_steps = 30 if full else 6
+    pipe = StreamingCTSDPipeline(
+        model=model,
+        train_scheduler=FlowMatchEulerScheduler(shift=3.0),
+        test_scheduler=FlowMatchEulerScheduler(shift=3.0),
+        inference_config={
+            "inference_steps": n_steps,
+            "guidance_scale": 3.0,
+            # two b=1 passes: b=1 saturates this chip's MXU and the 2b
+            # program blows the compile budget (see --e2e note above)
+            "sequential_cfg": True,
+        },
+        sharding_policy="ddp",
+    )
+    spi = pipe.steps_per_inference(t)
+    pooled_dim = 2048 if full else 16
+    cond_template = {
+        "encoder_hidden_states": jnp.zeros(
+            (1, t, v, ctx_len, d_model), jnp.bfloat16),
+        "pooled_projections": jnp.zeros((1, t, v, pooled_dim), jnp.bfloat16),
+        "added_time_ids": jnp.zeros((1, t, v, 11), jnp.float32),
+    }
+    state = pipe.reset_streaming(
+        (1, t, v, h, w, 16), cond_template, jax.random.PRNGKey(0)
+    )
+    vae, vae_params = build_vae_setup(int8=int8, h=h, w=w)
+
+    def frame_batch(key):
+        ks = jax.random.split(key, 3)
+        return {
+            "encoder_hidden_states": jax.random.normal(
+                ks[0], (1, 1, v, ctx_len, d_model), jnp.bfloat16),
+            "pooled_projections": jax.random.normal(
+                ks[1], (1, 1, v, pooled_dim), jnp.bfloat16),
+            "added_time_ids": jax.random.normal(ks[2], (1, 1, v, 11)),
+        }
+
+    @jax.jit
+    def tick(params, vae_params, state, fb):
+        s = pipe.send_frame_condition(state, fb)
+        s, out, ready = pipe.step_stream(params, s)
+        imgs = vae.decode_from_scaled(
+            vae_params, out.reshape(v, h, w, 16).astype(jnp.bfloat16)
+        )
+        return s, imgs, ready
+
+    try:
+        cost = tick.lower(
+            params, vae_params, state, frame_batch(jax.random.PRNGKey(1))
+        ).compile().cost_analysis()
+        xla_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        xla_flops = 0.0
+
+    # Warmup: fill the queue (t frames) — also compiles the program.
+    for i in range(t):
+        state, imgs, ready = tick(
+            params, vae_params, state, frame_batch(jax.random.PRNGKey(10 + i))
+        )
+    float(imgs.astype(jnp.float32).mean())
+    assert bool(ready), "queue should be full after t warmup ticks"
+
+    iters = 5 if full else 2
+    start = time.perf_counter()
+    for i in range(iters):
+        state, imgs, ready = tick(
+            params, vae_params, state, frame_batch(jax.random.PRNGKey(50 + i))
+        )
+    float(imgs.astype(jnp.float32).mean())  # hard sync
+    dt = (time.perf_counter() - start) / iters
+
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    # Analytic A100 for the same tick: denoiser fwd over the t-frame
+    # ladder x 2 (CFG) x spi steps + VAE decode of the v emitted images.
+    fl = flops_per_frame(cfg, (h // 2) * (w // 2), v, ctx_len)
+    vae_flops = 0.0
+    try:
+        dcost = jax.jit(
+            lambda p, z: vae.decode_from_scaled(p, z)
+        ).lower(
+            vae_params, jnp.zeros((v, h, w, 16), jnp.bfloat16)
+        ).compile().cost_analysis()
+        vae_flops = float(dcost.get("flops", 0.0))
+    except Exception:
+        pass
+    tick_flops = fl * t * 2 * spi + vae_flops
+    a100_s = tick_flops / (312e12 * 0.40)
+    unit = (
+        f"ms/frame steady-state ({platform}, FIFO streaming tick: "
+        f"{spi}-step ladder advance x CFG over a {t}-frame window + VAE "
+        f"decode, {n_params/1e6:.0f}M params"
+    )
+    if xla_flops > 0 and platform == "tpu":
+        mfu = (xla_flops / dt) / 197e12
+        unit += f", MFU {mfu:.2f} of v5e bf16 peak by XLA flop count"
+    unit += ")"
+    result = {
+        "metric": "ctsd35_streaming_ms_per_frame"
+        + ("_int8" if int8 else ""),
+        "value": round(dt * 1000.0, 1),
+        "unit": unit,
+        # ratio of analytic-A100 latency to measured latency (higher=faster)
+        "vs_baseline": round((a100_s * 1000.0) / (dt * 1000.0), 3),
+    }
+    print(json.dumps(result))
+
+
 def main(train: bool = False, e2e: bool = False, int8: bool = False,
-         remat_dots: bool = False, lidar: bool = False):
+         remat_dots: bool = False, lidar: bool = False,
+         streaming: bool = False):
     if lidar:
         return run_lidar_bench()
+    if streaming:
+        return run_streaming_bench(int8=int8)
     if train and int8:
         raise SystemExit(
             "--train --int8 is not a meaningful workload (training on "
@@ -316,15 +456,16 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
     dev = jax.devices()[0]
     platform = dev.platform
     full = platform == "tpu"
-    # Train mode: fwd+bwd+adamw needs params + grads + 2 bf16 moments
-    # resident — 4 copies of the parameters. Full flagship depth (24 L,
-    # 3776M params) needs 4 x 7.5 GB = 30 GB of state alone, which cannot
-    # fit a 16 GB v5e chip under ANY remat/microbatch scheme (the reference
-    # trains it sharded over 80 GB A100s; our FSDP/HSDP path shards the
-    # same way — dryrun_multichip proves it). Single-chip bench depth
-    # defaults to the deepest fit (12); perf/exp_train_depth.py sweeps
-    # 4/8/12 and extrapolates the 24-layer number.
-    train_layers = int(os.environ.get("BENCH_TRAIN_LAYERS", 12))
+    # Train mode: f32 master weights + f32 grads + 2 bf16 AdamW moments =
+    # 12 bytes/param resident (bf16 masters are NOT an option on this
+    # backend — see _param_filler). Full flagship depth (24 L, 3776M
+    # params) needs ~45 GB of state, which cannot fit a 16 GB v5e chip
+    # under ANY remat/microbatch scheme (the reference trains it sharded
+    # over 80 GB A100s; our FSDP/HSDP path shards the same way —
+    # dryrun_multichip proves it). Single-chip bench depth defaults to the
+    # deepest fit (8 ≈ 1.2B params); perf/exp_train_depth.py sweeps 4/6/8
+    # and extrapolates the 24-layer number.
+    train_layers = int(os.environ.get("BENCH_TRAIN_LAYERS", 8))
     model, params, inputs, cfg, geom = build_denoiser_setup(
         int8=int8, train=train, remat_dots=remat_dots,
         layers=((train_layers if train else 24) if full else 2),
@@ -351,12 +492,16 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
                 ** 2
             )
 
-        # NOTE: grad and update run as two programs, undonated — on the
-        # axon tunnel backend both donation and the fused grad+update
-        # program measured 2-30x slower per step than this split.
+        # NOTE: grad and update run as two programs — on the axon tunnel
+        # backend the fused grad+update program measured 2-30x slower per
+        # step than this split. The grads ARE donated into the update:
+        # they are dead after it, and freeing them mid-program is the
+        # difference between fitting and OOM at f32-master depths
+        # (params/opt stay undonated — donating persistent state measured
+        # slower on this tunnel).
         gradf = jax.jit(jax.value_and_grad(loss_fn))
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(2,))
         def apply(p, o, grads):
             updates, o = tx.update(grads, o, p)
             return optax.apply_updates(p, updates), o
@@ -630,4 +775,5 @@ if __name__ == "__main__":
         int8="--int8" in sys.argv,
         remat_dots="--remat-dots" in sys.argv,
         lidar="--lidar" in sys.argv,
+        streaming="--streaming" in sys.argv,
     )

@@ -66,7 +66,7 @@ def register_alias(reference_name: str, target: str) -> None:
 # Reference module path → the opendwm_tpu module whose import registers the
 # TPU-native equivalents. Allows configs to be resolved without eagerly
 # importing the whole package.
-_LAZY_MODULES: dict[str, str] = {
+_LAZY_MODULES: dict = {  # values: module path or tuple of module paths
     "dwm.models.crossview_temporal_dit": "opendwm_tpu.models.mmdit",
     "dwm.models.crossview_temporal": "opendwm_tpu.models.layers",
     "dwm.models.crossview_temporal_unet": "opendwm_tpu.models.unet",
@@ -80,7 +80,12 @@ _LAZY_MODULES: dict[str, str] = {
     "dwm.schedulers.temporal_independent": "opendwm_tpu.schedulers",
     "diffusers": "opendwm_tpu.schedulers",
     "torch.optim.lr_scheduler": "opendwm_tpu.pipelines.optim",
-    "dwm.pipelines.ctsd": "opendwm_tpu.pipelines.ctsd",
+    # ctsd.py registers CrossviewTemporalSD; the streaming subclass lives in
+    # its own module but shares the reference's dwm.pipelines.ctsd path.
+    "dwm.pipelines.ctsd": (
+        "opendwm_tpu.pipelines.ctsd",
+        "opendwm_tpu.pipelines.ctsd_streaming",
+    ),
     "dwm.pipelines.unimlvg": "opendwm_tpu.pipelines.unimlvg",
     "dwm.pipelines.lidar_vqvae": "opendwm_tpu.pipelines.lidar_vqvae",
     "dwm.pipelines.lidar_vae": "opendwm_tpu.pipelines.lidar_vae",
@@ -106,8 +111,10 @@ def _lazy_import_for(class_name: str) -> bool:
         prefix = ".".join(parts[:depth])
         target = _LAZY_MODULES.get(prefix)
         if target is not None:
+            targets = (target,) if isinstance(target, str) else target
             try:
-                importlib.import_module(target)
+                for mod in targets:
+                    importlib.import_module(mod)
                 return True
             except ImportError:
                 return False

@@ -144,8 +144,15 @@ class StreamingCTSDPipeline(CTSDPipeline):
         ts_table = jnp.asarray(sched.inference_timesteps(n_steps))
         guidance = self.inference_config.get("guidance_scale", 1.0)
         do_cfg = "guidance_scale" in self.inference_config
+        # sequential_cfg: run the two CFG branches as two b-sized passes
+        # instead of one 2b-sized pass. Exact same math; on a single v5e
+        # b=1 already saturates the MXU and the 2b program both compiles
+        # far slower and runs no faster (measured in bench.py --e2e), so
+        # serving configs set this.
+        sequential = bool(self.inference_config.get("sequential_cfg", False))
 
         conds = dict(state.conditions)
+        uncond_conds = None
         if do_cfg:
             # Per-key unconditional branch, mirroring the reference's
             # get_conditions(do_classifier_free_guidance=True) — zeros for
@@ -161,9 +168,11 @@ class StreamingCTSDPipeline(CTSDPipeline):
             added_mode = self.common_config.get("added_time_ids")
             uncond_text = state.uncond_text or {}
             cfg_conds = {}
+            uncond_conds = {}
             for k, q in conds.items():
                 if not hasattr(q, "ndim"):
                     cfg_conds[k] = q
+                    uncond_conds[k] = q
                     continue
                 if k == "condition_image_tensor":
                     uncond = jnp.full_like(q, uncond_color)
@@ -183,12 +192,17 @@ class StreamingCTSDPipeline(CTSDPipeline):
                     )
                 else:
                     uncond = q
-                cfg_conds[k] = jnp.concatenate([uncond, q], 0)
-            conds = cfg_conds
+                uncond_conds[k] = uncond
+                if not sequential:
+                    cfg_conds[k] = jnp.concatenate([uncond, q], 0)
+            if not sequential:
+                conds = cfg_conds
+                uncond_conds = None
         # disable flags sized for the (possibly doubled) batch
-        bb = 2 * b if do_cfg else b
-        conds["disable_crossview"] = jnp.zeros((bb,), bool)
-        conds["disable_temporal"] = jnp.zeros((bb,), bool)
+        bb = 2 * b if (do_cfg and not sequential) else b
+        for d in (conds,) + ((uncond_conds,) if uncond_conds else ()):
+            d["disable_crossview"] = jnp.zeros((bb,), bool)
+            d["disable_temporal"] = jnp.zeros((bb,), bool)
 
         rng, k_new = jax.random.split(state.rng)
 
@@ -198,17 +212,29 @@ class StreamingCTSDPipeline(CTSDPipeline):
             step_indices = jnp.broadcast_to(pos[None, :, None], (b, T, v))
             timesteps = ts_table[jnp.clip(step_indices, 0, n_steps - 1)]
             model_input = latents
-            if do_cfg:
-                model_input = jnp.concatenate([model_input, model_input], 0)
-                ts_in = jnp.concatenate([timesteps, timesteps], 0)
-            else:
-                ts_in = timesteps
-            pred = self.model.apply(
-                params, sample=model_input, timestep=ts_in, **conds
-            )
-            if do_cfg:
-                uncond, cond = jnp.split(pred, 2, 0)
+            if do_cfg and sequential:
+                uncond = self.model.apply(
+                    params, sample=model_input, timestep=timesteps,
+                    **uncond_conds,
+                )
+                cond = self.model.apply(
+                    params, sample=model_input, timestep=timesteps, **conds
+                )
                 pred = uncond + guidance * (cond - uncond)
+            else:
+                if do_cfg:
+                    model_input = jnp.concatenate(
+                        [model_input, model_input], 0
+                    )
+                    ts_in = jnp.concatenate([timesteps, timesteps], 0)
+                else:
+                    ts_in = timesteps
+                pred = self.model.apply(
+                    params, sample=model_input, timestep=ts_in, **conds
+                )
+                if do_cfg:
+                    uncond, cond = jnp.split(pred, 2, 0)
+                    pred = uncond + guidance * (cond - uncond)
             latents = sched.step_by_indices(
                 pred, step_indices, latents, n_steps
             )

@@ -60,12 +60,25 @@ def main():
     out_bf16 = np.asarray(fwd(params, inputs).astype(jnp.float32))
     out_int8 = np.asarray(qfwd(qparams, inputs).astype(jnp.float32))
     denom = np.maximum(np.abs(out_bf16), 1e-3)
+    rel = np.abs(out_bf16 - out_int8) / denom
+    # Localize the max rel err (VERDICT r3 weak #5): is it a
+    # small-denominator artifact (|bf16| near the 1e-3 clamp) or a real
+    # tail error on a large output? Report the bf16 magnitude at the
+    # argmax, the absolute error there, and the max rel err restricted to
+    # outputs of meaningful magnitude.
+    k = int(np.argmax(rel))
+    big = np.abs(out_bf16) > 0.1 * float(out_bf16.std())
     fwd_report = {
         "cosine": round(cosine(out_bf16, out_int8), 6),
-        "max_rel_err": round(
-            float(np.max(np.abs(out_bf16 - out_int8) / denom)), 4),
-        "mean_rel_err": round(
-            float(np.mean(np.abs(out_bf16 - out_int8) / denom)), 5),
+        "max_rel_err": round(float(rel.max()), 4),
+        "mean_rel_err": round(float(rel.mean()), 5),
+        "max_rel_err_at": {
+            "bf16_value": round(float(out_bf16.ravel()[k]), 6),
+            "abs_err": round(
+                float(np.abs(out_bf16 - out_int8).ravel()[k]), 6),
+        },
+        "max_rel_err_where_big": round(float(rel[big].max()), 4),
+        "max_abs_err": round(float(np.abs(out_bf16 - out_int8).max()), 5),
         "out_std_bf16": round(float(out_bf16.std()), 4),
         "out_std_int8": round(float(out_int8.std()), 4),
     }
@@ -76,7 +89,10 @@ def main():
     # execution ceiling.
     n_steps = int(os.environ.get("BENCH_E2E_STEPS", 30))
     guidance, ref_frames = 3.0, 1
-    n_windows = int(os.environ.get("FIDELITY_WINDOWS", 2))
+    # Serving depth: the e2e bench's 40-frame rollout is 8 windows
+    # (VERDICT r3 item 4 — error accumulation over all 8x30 CFG denoiser
+    # calls is the serving-relevant question).
+    n_windows = int(os.environ.get("FIDELITY_WINDOWS", 8))
     sigmas = jnp.linspace(1.0, 0.0, n_steps + 1)
     cond_ctx = inputs["encoder_hidden_states"]
     uncond_ctx = jnp.zeros_like(cond_ctx)
@@ -129,25 +145,35 @@ def main():
         return step_window
 
     def rollout(themodel, p):
+        """Returns (full latent trajectory, per-window output list)."""
         step = make_window(themodel)
         keys = jax.random.split(jax.random.PRNGKey(7), n_windows)
         ref = jnp.zeros(lat_shape, jnp.bfloat16)
         outs = []
         for wi in range(n_windows):
             lat, ref = step(p, keys[wi], ref, wi > 0)
-            outs.append(lat if wi == 0 else lat[:, ref_frames:])
-        out = jnp.concatenate(outs, 1)
-        return np.asarray(out.astype(jnp.float32))
+            outs.append(np.asarray(
+                (lat if wi == 0 else lat[:, ref_frames:])
+                .astype(jnp.float32)
+            ))
+            print(f"  window {wi + 1}/{n_windows} done", flush=True)
+        return np.concatenate(outs, 1), outs
 
     t0 = time.time()
-    lat_bf16 = rollout(model, params)
-    lat_int8 = rollout(qmodel, qparams)
+    lat_bf16, wins_bf16 = rollout(model, params)
+    lat_int8, wins_int8 = rollout(qmodel, qparams)
     roll_report = {
         "windows": n_windows,
         "steps": n_steps,
         "cosine": round(cosine(lat_bf16, lat_int8), 6),
         "lat_std_bf16": round(float(lat_bf16.std()), 4),
         "lat_std_int8": round(float(lat_int8.std()), 4),
+        # drift curve: cosine per AR window — shows whether quantization
+        # error compounds through the reference-latent chain
+        "per_window_cosine": [
+            round(cosine(a, b), 6)
+            for a, b in zip(wins_bf16, wins_int8)
+        ],
         "per_frame_cosine_min": round(min(
             cosine(lat_bf16[:, i], lat_int8[:, i])
             for i in range(lat_bf16.shape[1])

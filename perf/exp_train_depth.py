@@ -1,14 +1,17 @@
-"""Train-step depth sweep: MFU/throughput at 4/8/12(/16) layers + 24-L extrapolation.
+"""Train-step depth sweep: MFU/throughput at 4/6/8 layers + 24-L extrapolation.
 
-Full flagship depth (24 L) cannot train on one 16 GB v5e: AdamW state alone
-is 4 copies x 7.5 GB (params+grads+2 moments, all bf16) = 30 GB; no
-remat/microbatch scheme changes optimizer-state size. The multi-chip FSDP
-path shards it (see dryrun_multichip). This harness makes the single-chip
-train number interpretable instead (VERDICT r2 weak #2): it measures
-bench.py --train at increasing depths, reports per-depth MFU, and
-extrapolates the 24-layer frames/s from the marginal per-layer step time
-(step(d) fits a + b*d; fixed overhead a amortizes away with depth, so the
-extrapolation is an upper bound on what more HBM would deliver).
+Full flagship depth (24 L) cannot train on one 16 GB v5e: with f32 master
+weights (the standard mixed-precision recipe — bf16 masters collapse the
+grad program on this backend, see _param_filler in bench.py) the resident
+state is 12 bytes/param (f32 params + f32 grads + 2 bf16 moments), so the
+single-chip ceiling is ~1.3B params ≈ 8 layers at flagship width. The
+multi-chip FSDP path shards the f32 masters (see dryrun_multichip). This
+harness makes the single-chip train number interpretable instead (VERDICT
+r2 weak #2): it measures bench.py --train at increasing depths, reports
+per-depth MFU, and extrapolates the 24-layer frames/s from the marginal
+per-layer step time (step(d) fits a + b*d; fixed overhead a amortizes away
+with depth, so the extrapolation is an upper bound on what more HBM would
+deliver).
 
 Writes perf/BENCH_TRAIN_SWEEP.json.
 
@@ -80,4 +83,4 @@ def main(depths):
 
 
 if __name__ == "__main__":
-    main([int(x) for x in sys.argv[1:]] or [4, 8, 12])
+    main([int(x) for x in sys.argv[1:]] or [4, 6, 8])

@@ -8,13 +8,14 @@ optimizer programs separately under both dtypes.
 Usage: python perf/exp_train_dtype.py [bf16|f32] [layers]
 """
 
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(dtype_name: str = "bf16", layers: int = 4):
@@ -26,12 +27,14 @@ def main(dtype_name: str = "bf16", layers: int = 4):
     model, params, inputs, cfg, geom = bench.build_denoiser_setup(
         train=True, layers=layers
     )
-    if dtype_name == "f32":
-        params = jax.tree.map(
-            lambda p: p.astype(jnp.float32)
-            if jnp.issubdtype(p.dtype, jnp.floating) else p,
-            params,
-        )
+    # train setup now fills f32 masters by default (round-4 fix); cast to
+    # the requested residency so both arms stay measurable.
+    cast = {"f32": jnp.float32, "bf16": jnp.bfloat16}[dtype_name]
+    params = jax.tree.map(
+        lambda p: p.astype(cast)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p,
+        params,
+    )
     t = geom[0]
     target = inputs["sample"]
 

@@ -120,6 +120,36 @@ class TestStreaming:
         # Different uncond text → different CFG output.
         assert np.abs(np.asarray(out0) - np.asarray(out1)).max() > 1e-6
 
+    def test_sequential_cfg_matches_batched(self, pipe_state):
+        # sequential_cfg=True (two b-sized passes) must equal the batched
+        # 2b CFG pass exactly — same math, different program shape (the
+        # serving-friendly mode on chips where b=1 already saturates MXU).
+        pipe, train_state, batch = pipe_state
+        seq_pipe = StreamingCTSDPipeline(
+            model=pipe.model,
+            train_scheduler=pipe.train_scheduler,
+            test_scheduler=pipe.test_scheduler,
+            inference_config=dict(
+                pipe.inference_config, sequential_cfg=True
+            ),
+            mesh=pipe.mesh,
+            sharding_policy="ddp",
+        )
+        cond_template = {
+            "encoder_hidden_states": batch["encoder_hidden_states"],
+            "pooled_projections": batch["pooled_projections"],
+        }
+        s = pipe.reset_streaming(
+            (B, T, V, H, W, C), cond_template, jax.random.PRNGKey(5)
+        )
+        s = pipe.send_frame_condition(s, frame_batch(jax.random.PRNGKey(9)))
+        _, out_batched, _ = pipe.step_stream(train_state.params, s)
+        _, out_seq, _ = seq_pipe.step_stream(train_state.params, s)
+        np.testing.assert_allclose(
+            np.asarray(out_seq), np.asarray(out_batched),
+            rtol=1e-5, atol=1e-5,
+        )
+
     def test_uncond_text_picked_up_from_frame_batch(self, pipe_state):
         pipe, _, batch = pipe_state
         cond_template = {
