@@ -483,12 +483,16 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
         # keep the optimizer state within the 16 GB chip for this bench.
         tx = flat_adamw(1e-4, weight_decay=0.01, mu_dtype=jnp.bfloat16)
         opt_state = tx.init(params)
+        # target passed as an argument, NOT closed over: a closure constant
+        # is embedded into the MLIR via a device->host copy at lowering
+        # time, which fails with RESOURCE_EXHAUSTED when HBM is near full
+        # (the depth-8 sweep failure, BENCH_TRAIN_SWEEP r4).
         target = inputs["sample"]
 
-        def loss_fn(p, kw):
+        def loss_fn(p, kw, tgt):
             pred = model.apply(p, **kw)
             return jnp.mean(
-                (pred.astype(jnp.float32) - target.astype(jnp.float32))
+                (pred.astype(jnp.float32) - tgt.astype(jnp.float32))
                 ** 2
             )
 
@@ -507,18 +511,18 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
             return optax.apply_updates(p, updates), o
 
         try:
-            cost = gradf.lower(params, inputs).compile().cost_analysis()
+            cost = gradf.lower(params, inputs, target).compile().cost_analysis()
             xla_flops = float(cost.get("flops", 0.0))
         except Exception:
             xla_flops = 0.0
-        loss, grads = gradf(params, inputs)
+        loss, grads = gradf(params, inputs, target)
         params, opt_state = apply(params, opt_state, grads)
         float(loss)  # readback: surface async errors (axon tunnel)
 
         iters = 5 if full else 2
         start = time.perf_counter()
         for _ in range(iters):
-            loss, grads = gradf(params, inputs)
+            loss, grads = gradf(params, inputs, target)
             params, opt_state = apply(params, opt_state, grads)
         float(loss)
         jax.block_until_ready(params)

@@ -58,8 +58,15 @@ def main():
     from opendwm_tpu.parallel.sharding import param_shardings, replicated
 
     model = _flagship_model()  # mid slice: 6 L, 8 heads x 64
+    # Per-device compute must stay well under XLA:CPU's hard 40 s collective
+    # rendezvous deadline: on a 1-core host the 8 virtual devices execute
+    # serially, so a ring ppermute only completes once ALL 8 have reached it
+    # (~8x one device's step). h=w=16/b=4 deadlocked here; default small.
+    scale = int(os.environ.get("SHARD_OVERHEAD_SCALE", 1))
+    # b=4 is the floor: the pp stage splits batch over dp=2 then into 2
+    # microbatches (b=2 leaves a zero-size microbatch).
     inputs = _example_inputs(
-        jax.random.PRNGKey(0), b=4, t=2, v=2, h=16, w=16,
+        jax.random.PRNGKey(0), b=4, t=2, v=2, h=8 * scale, w=8 * scale,
         ctx_dim=256, pooled_dim=128,
     )
     params = model.init(jax.random.PRNGKey(1), **inputs)
@@ -95,13 +102,16 @@ def main():
     def sp_fwd(p, *vals):
         return ring.apply(p, **dict(zip(names, vals)))
 
+    scale = float(jnp.max(jnp.abs(want.astype(jnp.float32))))
+    results["out_scale"] = round(scale, 4)
+
     t_sp, got_sp = timed(
         jax.jit(sp_fwd), params, *(inputs[k] for k in names))
     err_sp = float(jnp.max(jnp.abs(
-        got_sp.astype(jnp.float32) - want.astype(jnp.float32))))
+        got_sp.astype(jnp.float32) - want.astype(jnp.float32)))) / scale
     results["sp_tp2_s"] = round(t_sp, 4)
     results["sp_overhead_x"] = round(t_sp / t_fsdp, 3)
-    results["sp_max_err"] = round(err_sp, 6)
+    results["sp_max_rel_err"] = round(err_sp, 6)
 
     # --- pp: 2 stages x dp=2 x tp=2, 2 microbatches -------------------------
     mesh_pp = make_mesh(MeshSpec(dp=2, fsdp=1, pp=2, tp=2), jax.devices()[:8])
@@ -115,10 +125,10 @@ def main():
 
     t_pp, got_pp = timed(lambda: pp_fwd())
     err_pp = float(jnp.max(jnp.abs(
-        got_pp.astype(jnp.float32) - want.astype(jnp.float32))))
+        got_pp.astype(jnp.float32) - want.astype(jnp.float32)))) / scale
     results["pp2_dp2_tp2_s"] = round(t_pp, 4)
     results["pp_overhead_x"] = round(t_pp / t_fsdp, 3)
-    results["pp_max_err"] = round(err_pp, 6)
+    results["pp_max_rel_err"] = round(err_pp, 6)
     results["note"] = (
         "single-host virtual mesh: ratios measure extra work "
         "(collectives/bubble), not real-chip scaling"
@@ -130,7 +140,10 @@ def main():
         json.dump(results, f, indent=1)
     print(json.dumps(results))
     print(f"wrote {path}")
-    assert err_sp < 1e-2 and err_pp < 1e-2
+    # the entry model runs bf16: sharded-vs-single divergence is bf16
+    # reduction-order noise; 2% of output scale bounds it comfortably
+    # (exact-parity claims live in the f32 tests/dryrun).
+    assert err_sp < 2e-2 and err_pp < 2e-2, (err_sp, err_pp)
     assert np.isfinite(t_sp) and np.isfinite(t_pp)
 
 

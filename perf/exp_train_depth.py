@@ -22,21 +22,32 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_depth(layers: int):
+def run_depth(layers: int, retries: int = 2):
     env = dict(os.environ, BENCH_TRAIN_LAYERS=str(layers))
-    proc = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "bench.py"), "--train"],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
-    for line in reversed(proc.stdout.strip().splitlines()):
-        if line.startswith("{"):
-            return json.loads(line)
+    for attempt in range(retries + 1):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py"), "--train"],
+            capture_output=True, text=True, env=env, timeout=3600,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        # the axon tunnel intermittently fails to hand out the chip right
+        # after the previous client released it (TPU_WORKER_HOSTNAMES
+        # INVALID_ARGUMENT) — transient; back off and retry
+        if "TPU_WORKER_HOSTNAMES" in proc.stderr and attempt < retries:
+            print(f"depth {layers}: transient tunnel init failure, "
+                  f"retrying ({attempt + 1}/{retries})", flush=True)
+            time.sleep(60)
+            continue
+        break
     print(f"depth {layers} failed:\n{proc.stderr[-2000:]}")
     err = [ln for ln in proc.stderr.splitlines() if "Error" in ln]
     return {"error": (err[-1][:300] if err else "no output")}
