@@ -500,12 +500,16 @@ def main(train: bool = False, e2e: bool = False, int8: bool = False,
         # backend the fused grad+update program measured 2-30x slower per
         # step than this split. The grads ARE donated into the update:
         # they are dead after it, and freeing them mid-program is the
-        # difference between fitting and OOM at f32-master depths
-        # (params/opt stay undonated — donating persistent state measured
-        # slower on this tunnel).
+        # difference between fitting and OOM at f32-master depths.
+        # At depth <= 4, params/opt stay undonated (donating persistent
+        # state measured slower on this tunnel); at depth >= 5 the
+        # undonated update program peaks at ~20 B/param (old+new params,
+        # grads, old+new moments) and OOMs the 16 GB chip, so everything
+        # is donated there — fit beats the dispatch tax.
         gradf = jax.jit(jax.value_and_grad(loss_fn))
+        donate = (0, 1, 2) if train_layers >= 5 else (2,)
 
-        @partial(jax.jit, donate_argnums=(2,))
+        @partial(jax.jit, donate_argnums=donate)
         def apply(p, o, grads):
             updates, o = tx.update(grads, o, p)
             return optax.apply_updates(p, updates), o

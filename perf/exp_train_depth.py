@@ -54,7 +54,15 @@ def run_depth(layers: int, retries: int = 2):
 
 
 def main(depths):
+    # merge with prior successful entries so partial re-runs (e.g. after a
+    # tunnel flake) don't discard measured depths
+    path = os.path.join(ROOT, "perf", "BENCH_TRAIN_SWEEP.json")
     results = []
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f).get("sweep", [])
+        results = [r for r in prior
+                   if r.get("value") and r["layers"] not in depths]
     for d in depths:
         print(f"=== depth {d} ===", flush=True)
         r = run_depth(d)
@@ -67,6 +75,7 @@ def main(depths):
         results.append(r)
         print(json.dumps(r), flush=True)
 
+    results.sort(key=lambda r: r["layers"])
     ok = [r for r in results if r.get("value")]
     out = {"sweep": results}
     if len(ok) >= 2:
