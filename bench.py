@@ -307,14 +307,13 @@ def run_lidar_bench():
             mfu = (xla_flops / dt) / 197e12
             unit += f", MFU {mfu:.2f} of v5e bf16 peak by XLA flop count"
     unit += ")"
-    result = {
+    return {
         "metric": "lidar_maskgit_gen_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 3),
         "unit": unit,
         "vs_baseline": round(frames_per_sec / a100_fps, 3) if a100_fps
         else 0.0,
     }
-    print(json.dumps(result))
 
 
 def run_streaming_bench(int8: bool = False):
@@ -430,7 +429,7 @@ def run_streaming_bench(int8: bool = False):
         mfu = (xla_flops / dt) / 197e12
         unit += f", MFU {mfu:.2f} of v5e bf16 peak by XLA flop count"
     unit += ")"
-    result = {
+    return {
         "metric": "ctsd35_streaming_ms_per_frame"
         + ("_int8" if int8 else ""),
         "value": round(dt * 1000.0, 1),
@@ -438,341 +437,383 @@ def run_streaming_bench(int8: bool = False):
         # ratio of analytic-A100 latency to measured latency (higher=faster)
         "vs_baseline": round((a100_s * 1000.0) / (dt * 1000.0), 3),
     }
-    print(json.dumps(result))
+
+
+def run_train_bench(layers: int = None, remat_dots: bool = False):
+    """One optimizer step (grad + fused AdamW update) at bench geometry.
+
+    Train mode: f32 master weights + f32 grads + 2 bf16 AdamW moments =
+    12 bytes/param resident (bf16 masters are NOT an option on this
+    backend — see _param_filler). Full flagship depth (24 L, 3776M
+    params) needs ~45 GB of state, which cannot fit a 16 GB v5e chip
+    under ANY remat/microbatch scheme (the reference trains it sharded
+    over 80 GB A100s; our FSDP/HSDP path shards the same way —
+    dryrun_multichip proves it). Single-chip bench depth defaults to the
+    deepest fit (8 ≈ 1.2B params); perf/exp_train_depth.py sweeps 4/6/8
+    in ONE process (each fresh chip acquisition risks a tunnel flake —
+    VERDICT r4 weak #1) and extrapolates the 24-layer number.
+    """
+    import optax
+
+    from opendwm_tpu.parallel.flat_optim import flat_adamw
+
+    dev = jax.devices()[0]
+    platform = dev.platform
+    full = platform == "tpu"
+    if layers is None:
+        layers = int(os.environ.get("BENCH_TRAIN_LAYERS", 8))
+    model, params, inputs, cfg, geom = build_denoiser_setup(
+        train=True, remat_dots=remat_dots,
+        layers=layers if full else 2,
+    )
+    t, v, h, w, ctx_len = geom
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+
+    # fused flat AdamW: optax.adamw's per-leaf chain measured ~160x
+    # slower on this chip (see parallel/flat_optim.py). bf16 moments
+    # keep the optimizer state within the 16 GB chip for this bench.
+    tx = flat_adamw(1e-4, weight_decay=0.01, mu_dtype=jnp.bfloat16)
+    opt_state = tx.init(params)
+    # target passed as an argument, NOT closed over: a closure constant
+    # is embedded into the MLIR via a device->host copy at lowering
+    # time, which fails with RESOURCE_EXHAUSTED when HBM is near full
+    # (the depth-8 sweep failure, BENCH_TRAIN_SWEEP r4).
+    target = inputs["sample"]
+
+    def loss_fn(p, kw, tgt):
+        pred = model.apply(p, **kw)
+        return jnp.mean(
+            (pred.astype(jnp.float32) - tgt.astype(jnp.float32))
+            ** 2
+        )
+
+    # NOTE: grad and update run as two programs — on the axon tunnel
+    # backend the fused grad+update program measured 2-30x slower per
+    # step than this split. The grads ARE donated into the update:
+    # they are dead after it, and freeing them mid-program is the
+    # difference between fitting and OOM at f32-master depths.
+    # At depth <= 4, params/opt stay undonated (donating persistent
+    # state measured slower on this tunnel); at depth >= 5 the
+    # undonated update program peaks at ~20 B/param (old+new params,
+    # grads, old+new moments) and OOMs the 16 GB chip, so everything
+    # is donated there — fit beats the dispatch tax.
+    gradf = jax.jit(jax.value_and_grad(loss_fn))
+    donate = (0, 1, 2) if layers >= 5 else (2,)
+
+    @partial(jax.jit, donate_argnums=donate)
+    def apply(p, o, grads):
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o
+
+    try:
+        cost = gradf.lower(params, inputs, target).compile().cost_analysis()
+        xla_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        xla_flops = 0.0
+    loss, grads = gradf(params, inputs, target)
+    params, opt_state = apply(params, opt_state, grads)
+    float(loss)  # readback: surface async errors (axon tunnel)
+
+    iters = 5 if full else 2
+    start = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = gradf(params, inputs, target)
+        params, opt_state = apply(params, opt_state, grads)
+    float(loss)
+    jax.block_until_ready(params)
+    dt = (time.perf_counter() - start) / iters
+
+    frames_per_sec = t / dt
+    fl = flops_per_frame(cfg, (h // 2) * (w // 2), v, ctx_len) * 3
+    a100_fps = (312e12 * 0.40) / fl  # analytic A100 bf16 est. at 40% MFU
+    unit = (
+        f"frames/s ({platform}, train-step, 6-view eq, "
+        f"{n_params/1e6:.0f}M params"
+    )
+    if xla_flops > 0 and platform == "tpu":
+        mfu = (xla_flops / dt) / 197e12
+        unit += f", MFU {mfu:.2f} of v5e bf16 peak by XLA flop count"
+    unit += ")"
+    return {
+        "metric": "ctsd35_trainstep_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 3),
+        "unit": unit,
+        "vs_baseline": round(frames_per_sec / a100_fps, 3),
+    }
+
+
+def run_fwd_bench(int8: bool = False, remat_dots: bool = False):
+    """Denoiser forward throughput at bench geometry (the driver default)."""
+    dev = jax.devices()[0]
+    platform = dev.platform
+    full = platform == "tpu"
+    model, params, inputs, cfg, geom = build_denoiser_setup(
+        int8=int8, remat_dots=remat_dots, layers=24 if full else 2,
+    )
+    t, v, h, w, ctx_len = geom
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+
+    fwd = jax.jit(lambda p, kw: model.apply(p, **kw))
+    # Exact FLOP count from XLA's cost model (honest MFU figure).
+    try:
+        cost = fwd.lower(params, inputs).compile().cost_analysis()
+        xla_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        xla_flops = 0.0
+    # Warmup with a value readback: on remote-tunnel devices
+    # block_until_ready alone can return before async errors surface.
+    float(fwd(params, inputs).astype(jnp.float32).mean())
+
+    iters = 10 if full else 3
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, inputs)
+    float(out.astype(jnp.float32).mean())  # hard sync
+    dt = (time.perf_counter() - start) / iters
+
+    frames_per_sec = t / dt
+    fl = flops_per_frame(cfg, (h // 2) * (w // 2), v, ctx_len)
+    a100_fps = (312e12 * 0.40) / fl
+    unit = (
+        f"frames/s ({platform}, fwd, 6-view eq, "
+        f"{n_params/1e6:.0f}M params"
+    )
+    if xla_flops > 0 and platform == "tpu":
+        mfu = (xla_flops / dt) / 197e12
+        unit += f", MFU {mfu:.2f} of v5e bf16 peak by XLA flop count"
+    unit += ")"
+    return {
+        "metric": "ctsd35_denoiser_frames_per_sec_per_chip"
+        + ("_int8" if int8 else ""),
+        "value": round(frames_per_sec, 3),
+        "unit": unit,
+        "vs_baseline": round(frames_per_sec / a100_fps, 3),
+    }
+
+
+def run_e2e_bench(int8: bool = False):
+    dev = jax.devices()[0]
+    platform = dev.platform
+    full = platform == "tpu"
+    model, params, inputs, cfg, geom = build_denoiser_setup(
+        int8=int8, layers=24 if full else 2,
+    )
+    t, v, h, w, ctx_len = geom
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    # North-star benchmark (BASELINE.md): 40-frame 6-view GENERATION —
+    # the autoregressive window rollout of reference ctsd.py:1656-1833
+    # (30-step CFG flow-match denoise per window, reference-latent
+    # injection between windows) plus the SD3.5 VAE decode of every
+    # generated frame.
+    n_steps = int(os.environ.get("BENCH_E2E_STEPS", 30))
+    guidance = 3.0
+    total_frames = int(
+        os.environ.get("BENCH_E2E_FRAMES", 40 if full else 4)
+    )
+    ref_frames = 1
+    stride = t - ref_frames
+    n_windows = max(1, -(-(total_frames - t) // stride) + 1)
+    sigmas = jnp.linspace(1.0, 0.0, n_steps + 1)
+    # CFG as two sequential batch-1 passes: on this chip b=1 saturates
+    # the MXU (measured 8.06 f/s at b=1 vs 7.5 at b=2), so serial CFG
+    # is both faster and reuses the cached batch-1 executable (the
+    # batch-2 program exceeded a 20-minute compile budget here).
+    cond_ctx = inputs["encoder_hidden_states"]
+    uncond_ctx = jnp.zeros_like(cond_ctx)
+    fixed = {
+        k: v for k, v in inputs.items()
+        if k not in ("sample", "timestep", "encoder_hidden_states")
+    }
+    frame_idx = jnp.arange(t)[None, :, None]
+    lat_shape = (1, t, v, h, w, 16)
+
+    # Rollout structure. Round 2 host-chained the 8 windows with the
+    # glue (ref-latent slice/concat, output slice) dispatched op-by-op
+    # from the host and measured 68 s of inter-window overhead
+    # (perf/exp_e2e_breakdown.py: 332.4 s vs 264.5 s of window
+    # compute) — the gap VERDICT round 2 flagged. Fusing the WHOLE
+    # rollout into one scan program (BENCH_E2E_FUSED=1 below) removes
+    # it, but the axon TPU tunnel kills any single program executing
+    # >~60 s ("TPU worker crashed"; probed: 11 s and 49 s programs OK,
+    # 66 s and 264 s programs crash), so the default here chains
+    # per-window programs (~33 s each) with ALL glue fused device-side
+    # into the window program and keys pre-split — exactly one
+    # dispatch per window (perf/exp_window_chain.py measures it).
+    def window_body(p, key, ref_lat, use_ref: bool):
+        lat0 = jax.random.normal(key, lat_shape, jnp.bfloat16)
+
+        def body(lat, i):
+            sig, sig_next = sigmas[i], sigmas[i + 1]
+            ts = jnp.full((1, t, v), sig * 1000.0)
+            if use_ref:
+                is_ref = frame_idx < ref_frames
+                lat_in = jnp.where(
+                    is_ref[..., None, None, None], ref_lat, lat
+                )
+                ts = jnp.where(is_ref, 0.0, ts)
+            else:
+                lat_in = lat
+
+            def run(ctx):
+                return model.apply(
+                    p, sample=lat_in, timestep=ts,
+                    encoder_hidden_states=ctx, **fixed,
+                )
+
+            uncond = run(uncond_ctx)
+            cond = run(cond_ctx)
+            vfield = uncond + guidance * (cond - uncond)
+            lat = (
+                lat.astype(jnp.float32)
+                + (sig_next - sig) * vfield.astype(jnp.float32)
+            ).astype(lat.dtype)
+            return lat, ()
+
+        lat, _ = jax.lax.scan(body, lat0, jnp.arange(n_steps))
+        if use_ref:
+            is_ref = frame_idx[..., None, None, None] < ref_frames
+            lat = jnp.where(is_ref, ref_lat, lat)
+        return lat
+
+    def _next_ref(lat):
+        return jnp.concatenate(
+            [lat[:, -ref_frames:], jnp.zeros(
+                (1, t - ref_frames) + lat_shape[2:], lat.dtype
+            )], 1,
+        )
+
+    if os.environ.get("BENCH_E2E_FUSED"):
+        # One program for the whole rollout — the right shape for real
+        # TPU deployments (no tunnel execution ceiling).
+        @jax.jit
+        def generate(p, key):
+            keys = jax.random.split(key, n_windows)
+            lat0 = window_body(p, keys[0], None, False)
+
+            def win(ref_lat, k):
+                lat = window_body(p, k, ref_lat, True)
+                return _next_ref(lat), lat[:, ref_frames:]
+
+            _, rest = jax.lax.scan(win, _next_ref(lat0), keys[1:])
+            # rest: (n_windows-1, 1, t-ref, v, h, w, c)
+            rest = rest.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
+                1, -1, *lat_shape[2:]
+            )
+            return jnp.concatenate(
+                [lat0, rest], 1
+            )[:, :total_frames]
+    else:
+        # Host-chained windows, device-fused glue, one dispatch per
+        # window (donating the ref-latent carry).
+        @partial(
+            jax.jit, static_argnames=("use_ref",), donate_argnums=(2,)
+        )
+        def step_window(p, key, ref_lat, use_ref: bool):
+            lat = window_body(p, key, ref_lat, use_ref)
+            out = lat if not use_ref else lat[:, ref_frames:]
+            return out, _next_ref(lat)
+
+        def generate(p, key):
+            keys = jax.random.split(key, n_windows)
+            ref = jnp.zeros(lat_shape, jnp.bfloat16)
+            outputs = []
+            for wi in range(n_windows):
+                out, ref = step_window(p, keys[wi], ref, wi > 0)
+                outputs.append(out)
+            return jnp.concatenate(outputs, 1)[:, :total_frames]
+
+    # SD3.5 VAE decode of every generated frame (reference
+    # ctsd.py:1605-1643 decodes chunked; same here).
+    vae, vae_params = build_vae_setup(int8=int8, h=h, w=w)
+    decode_chunk = 6 if full else 2
+
+    @jax.jit
+    def decode(p, z):  # (chunk, h, w, 16) -> images
+        return vae.decode_from_scaled(p, z)
+
+    n_imgs = total_frames * v
+
+    @jax.jit
+    def decode_all(p, lat):
+        frames = lat.reshape(-1, h, w, 16)[:n_imgs]
+        pad = -n_imgs % decode_chunk
+        if pad:
+            frames = jnp.concatenate(
+                [frames, jnp.zeros((pad, h, w, 16), frames.dtype)], 0
+            )
+        chunks = frames.reshape(-1, decode_chunk, h, w, 16)
+        imgs = jax.lax.map(
+            lambda z: vae.decode_from_scaled(p, z), chunks
+        )
+        return imgs.reshape(-1, *imgs.shape[2:])[:n_imgs]
+
+    vae_flops = 0.0
+    try:
+        cost = decode.lower(
+            vae_params,
+            jnp.zeros((decode_chunk, h, w, 16), jnp.bfloat16),
+        ).compile().cost_analysis()
+        vae_flops = float(cost.get("flops", 0.0)) / decode_chunk
+    except Exception:
+        pass
+
+    def full_pipeline(key):
+        lat = generate(params, key)
+        return decode_all(vae_params, lat)
+
+    # Warm both programs. The generate() warmup DOES execute a full
+    # rollout (it is one program); unavoidable, cached afterwards.
+    lat_warm = generate(params, jax.random.PRNGKey(9))
+    float(lat_warm.astype(jnp.float32).mean())
+    float(decode_all(vae_params, lat_warm).astype(jnp.float32).mean())
+
+    start = time.perf_counter()
+    out = full_pipeline(jax.random.PRNGKey(1))
+    float(out.astype(jnp.float32).mean())
+    dt = time.perf_counter() - start
+    frames_per_sec = total_frames / dt
+
+    # Analytic A100 baseline for the SAME workload: denoiser FLOPs per
+    # frame x CFG x steps x window overhead + VAE decode per frame,
+    # at 312 TFLOP/s bf16 peak and 40% assumed MFU (BASELINE.md: the
+    # reference publishes no throughput; this stays the honest
+    # denominator until a measured A100 run exists).
+    fl = flops_per_frame(cfg, (h // 2) * (w // 2), v, ctx_len)
+    window_overhead = (n_windows * t) / total_frames
+    fl_frame = fl * 2 * n_steps * window_overhead + vae_flops * v
+    a100_fps = (312e12 * 0.40) / fl_frame
+    return {
+        "metric": "ctsd35_e2e_40frame_generation_fps_per_chip"
+        + ("_int8" if int8 else ""),
+        "value": round(frames_per_sec, 4),
+        "unit": (
+            f"video frames/s ({platform}, {total_frames}-frame 6-view "
+            f"AR rollout: {n_windows} windows x {n_steps}-step CFG "
+            f"flow-match + SD3.5 VAE decode, "
+            f"{n_params/1e6:.0f}M params)"
+        ),
+        "vs_baseline": round(frames_per_sec / a100_fps, 3),
+    }
 
 
 def main(train: bool = False, e2e: bool = False, int8: bool = False,
          remat_dots: bool = False, lidar: bool = False,
          streaming: bool = False):
-    if lidar:
-        return run_lidar_bench()
-    if streaming:
-        return run_streaming_bench(int8=int8)
     if train and int8:
         raise SystemExit(
             "--train --int8 is not a meaningful workload (training on "
             "frozen int8 weights); pick one."
         )
-    dev = jax.devices()[0]
-    platform = dev.platform
-    full = platform == "tpu"
-    # Train mode: f32 master weights + f32 grads + 2 bf16 AdamW moments =
-    # 12 bytes/param resident (bf16 masters are NOT an option on this
-    # backend — see _param_filler). Full flagship depth (24 L, 3776M
-    # params) needs ~45 GB of state, which cannot fit a 16 GB v5e chip
-    # under ANY remat/microbatch scheme (the reference trains it sharded
-    # over 80 GB A100s; our FSDP/HSDP path shards the same way —
-    # dryrun_multichip proves it). Single-chip bench depth defaults to the
-    # deepest fit (8 ≈ 1.2B params); perf/exp_train_depth.py sweeps 4/6/8
-    # and extrapolates the 24-layer number.
-    train_layers = int(os.environ.get("BENCH_TRAIN_LAYERS", 8))
-    model, params, inputs, cfg, geom = build_denoiser_setup(
-        int8=int8, train=train, remat_dots=remat_dots,
-        layers=((train_layers if train else 24) if full else 2),
-    )
-    t, v, h, w, ctx_len = geom
-    n_params = sum(p.size for p in jax.tree.leaves(params))
-
-    if train:
-        import optax
-
-        from opendwm_tpu.parallel.flat_optim import flat_adamw
-
-        # fused flat AdamW: optax.adamw's per-leaf chain measured ~160x
-        # slower on this chip (see parallel/flat_optim.py). bf16 moments
-        # keep the optimizer state within the 16 GB chip for this bench.
-        tx = flat_adamw(1e-4, weight_decay=0.01, mu_dtype=jnp.bfloat16)
-        opt_state = tx.init(params)
-        # target passed as an argument, NOT closed over: a closure constant
-        # is embedded into the MLIR via a device->host copy at lowering
-        # time, which fails with RESOURCE_EXHAUSTED when HBM is near full
-        # (the depth-8 sweep failure, BENCH_TRAIN_SWEEP r4).
-        target = inputs["sample"]
-
-        def loss_fn(p, kw, tgt):
-            pred = model.apply(p, **kw)
-            return jnp.mean(
-                (pred.astype(jnp.float32) - tgt.astype(jnp.float32))
-                ** 2
-            )
-
-        # NOTE: grad and update run as two programs — on the axon tunnel
-        # backend the fused grad+update program measured 2-30x slower per
-        # step than this split. The grads ARE donated into the update:
-        # they are dead after it, and freeing them mid-program is the
-        # difference between fitting and OOM at f32-master depths.
-        # At depth <= 4, params/opt stay undonated (donating persistent
-        # state measured slower on this tunnel); at depth >= 5 the
-        # undonated update program peaks at ~20 B/param (old+new params,
-        # grads, old+new moments) and OOMs the 16 GB chip, so everything
-        # is donated there — fit beats the dispatch tax.
-        gradf = jax.jit(jax.value_and_grad(loss_fn))
-        donate = (0, 1, 2) if train_layers >= 5 else (2,)
-
-        @partial(jax.jit, donate_argnums=donate)
-        def apply(p, o, grads):
-            updates, o = tx.update(grads, o, p)
-            return optax.apply_updates(p, updates), o
-
-        try:
-            cost = gradf.lower(params, inputs, target).compile().cost_analysis()
-            xla_flops = float(cost.get("flops", 0.0))
-        except Exception:
-            xla_flops = 0.0
-        loss, grads = gradf(params, inputs, target)
-        params, opt_state = apply(params, opt_state, grads)
-        float(loss)  # readback: surface async errors (axon tunnel)
-
-        iters = 5 if full else 2
-        start = time.perf_counter()
-        for _ in range(iters):
-            loss, grads = gradf(params, inputs, target)
-            params, opt_state = apply(params, opt_state, grads)
-        float(loss)
-        jax.block_until_ready(params)
-        dt = (time.perf_counter() - start) / iters
-    elif not e2e:
-        fwd = jax.jit(lambda p, kw: model.apply(p, **kw))
-        # Exact FLOP count from XLA's cost model (honest MFU figure).
-        try:
-            cost = fwd.lower(params, inputs).compile().cost_analysis()
-            xla_flops = float(cost.get("flops", 0.0))
-        except Exception:
-            xla_flops = 0.0
-        # Warmup with a value readback: on remote-tunnel devices
-        # block_until_ready alone can return before async errors surface.
-        float(fwd(params, inputs).astype(jnp.float32).mean())
-
-        iters = 10 if full else 3
-        start = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(params, inputs)
-        float(out.astype(jnp.float32).mean())  # hard sync
-        dt = (time.perf_counter() - start) / iters
-
-    if e2e:
-        # North-star benchmark (BASELINE.md): 40-frame 6-view GENERATION —
-        # the autoregressive window rollout of reference ctsd.py:1656-1833
-        # (30-step CFG flow-match denoise per window, reference-latent
-        # injection between windows) plus the SD3.5 VAE decode of every
-        # generated frame.
-        n_steps = int(os.environ.get("BENCH_E2E_STEPS", 30))
-        guidance = 3.0
-        total_frames = int(
-            os.environ.get("BENCH_E2E_FRAMES", 40 if full else 4)
-        )
-        ref_frames = 1
-        stride = t - ref_frames
-        n_windows = max(1, -(-(total_frames - t) // stride) + 1)
-        sigmas = jnp.linspace(1.0, 0.0, n_steps + 1)
-        # CFG as two sequential batch-1 passes: on this chip b=1 saturates
-        # the MXU (measured 8.06 f/s at b=1 vs 7.5 at b=2), so serial CFG
-        # is both faster and reuses the cached batch-1 executable (the
-        # batch-2 program exceeded a 20-minute compile budget here).
-        cond_ctx = inputs["encoder_hidden_states"]
-        uncond_ctx = jnp.zeros_like(cond_ctx)
-        fixed = {
-            k: v for k, v in inputs.items()
-            if k not in ("sample", "timestep", "encoder_hidden_states")
-        }
-        frame_idx = jnp.arange(t)[None, :, None]
-        lat_shape = (1, t, v, h, w, 16)
-
-        # Rollout structure. Round 2 host-chained the 8 windows with the
-        # glue (ref-latent slice/concat, output slice) dispatched op-by-op
-        # from the host and measured 68 s of inter-window overhead
-        # (perf/exp_e2e_breakdown.py: 332.4 s vs 264.5 s of window
-        # compute) — the gap VERDICT round 2 flagged. Fusing the WHOLE
-        # rollout into one scan program (BENCH_E2E_FUSED=1 below) removes
-        # it, but the axon TPU tunnel kills any single program executing
-        # >~60 s ("TPU worker crashed"; probed: 11 s and 49 s programs OK,
-        # 66 s and 264 s programs crash), so the default here chains
-        # per-window programs (~33 s each) with ALL glue fused device-side
-        # into the window program and keys pre-split — exactly one
-        # dispatch per window (perf/exp_window_chain.py measures it).
-        def window_body(p, key, ref_lat, use_ref: bool):
-            lat0 = jax.random.normal(key, lat_shape, jnp.bfloat16)
-
-            def body(lat, i):
-                sig, sig_next = sigmas[i], sigmas[i + 1]
-                ts = jnp.full((1, t, v), sig * 1000.0)
-                if use_ref:
-                    is_ref = frame_idx < ref_frames
-                    lat_in = jnp.where(
-                        is_ref[..., None, None, None], ref_lat, lat
-                    )
-                    ts = jnp.where(is_ref, 0.0, ts)
-                else:
-                    lat_in = lat
-
-                def run(ctx):
-                    return model.apply(
-                        p, sample=lat_in, timestep=ts,
-                        encoder_hidden_states=ctx, **fixed,
-                    )
-
-                uncond = run(uncond_ctx)
-                cond = run(cond_ctx)
-                vfield = uncond + guidance * (cond - uncond)
-                lat = (
-                    lat.astype(jnp.float32)
-                    + (sig_next - sig) * vfield.astype(jnp.float32)
-                ).astype(lat.dtype)
-                return lat, ()
-
-            lat, _ = jax.lax.scan(body, lat0, jnp.arange(n_steps))
-            if use_ref:
-                is_ref = frame_idx[..., None, None, None] < ref_frames
-                lat = jnp.where(is_ref, ref_lat, lat)
-            return lat
-
-        def _next_ref(lat):
-            return jnp.concatenate(
-                [lat[:, -ref_frames:], jnp.zeros(
-                    (1, t - ref_frames) + lat_shape[2:], lat.dtype
-                )], 1,
-            )
-
-        if os.environ.get("BENCH_E2E_FUSED"):
-            # One program for the whole rollout — the right shape for real
-            # TPU deployments (no tunnel execution ceiling).
-            @jax.jit
-            def generate(p, key):
-                keys = jax.random.split(key, n_windows)
-                lat0 = window_body(p, keys[0], None, False)
-
-                def win(ref_lat, k):
-                    lat = window_body(p, k, ref_lat, True)
-                    return _next_ref(lat), lat[:, ref_frames:]
-
-                _, rest = jax.lax.scan(win, _next_ref(lat0), keys[1:])
-                # rest: (n_windows-1, 1, t-ref, v, h, w, c)
-                rest = rest.transpose(1, 0, 2, 3, 4, 5, 6).reshape(
-                    1, -1, *lat_shape[2:]
-                )
-                return jnp.concatenate(
-                    [lat0, rest], 1
-                )[:, :total_frames]
-        else:
-            # Host-chained windows, device-fused glue, one dispatch per
-            # window (donating the ref-latent carry).
-            @partial(
-                jax.jit, static_argnames=("use_ref",), donate_argnums=(2,)
-            )
-            def step_window(p, key, ref_lat, use_ref: bool):
-                lat = window_body(p, key, ref_lat, use_ref)
-                out = lat if not use_ref else lat[:, ref_frames:]
-                return out, _next_ref(lat)
-
-            def generate(p, key):
-                keys = jax.random.split(key, n_windows)
-                ref = jnp.zeros(lat_shape, jnp.bfloat16)
-                outputs = []
-                for wi in range(n_windows):
-                    out, ref = step_window(p, keys[wi], ref, wi > 0)
-                    outputs.append(out)
-                return jnp.concatenate(outputs, 1)[:, :total_frames]
-
-        # SD3.5 VAE decode of every generated frame (reference
-        # ctsd.py:1605-1643 decodes chunked; same here).
-        vae, vae_params = build_vae_setup(int8=int8, h=h, w=w)
-        decode_chunk = 6 if full else 2
-
-        @jax.jit
-        def decode(p, z):  # (chunk, h, w, 16) -> images
-            return vae.decode_from_scaled(p, z)
-
-        n_imgs = total_frames * v
-
-        @jax.jit
-        def decode_all(p, lat):
-            frames = lat.reshape(-1, h, w, 16)[:n_imgs]
-            pad = -n_imgs % decode_chunk
-            if pad:
-                frames = jnp.concatenate(
-                    [frames, jnp.zeros((pad, h, w, 16), frames.dtype)], 0
-                )
-            chunks = frames.reshape(-1, decode_chunk, h, w, 16)
-            imgs = jax.lax.map(
-                lambda z: vae.decode_from_scaled(p, z), chunks
-            )
-            return imgs.reshape(-1, *imgs.shape[2:])[:n_imgs]
-
-        vae_flops = 0.0
-        try:
-            cost = decode.lower(
-                vae_params,
-                jnp.zeros((decode_chunk, h, w, 16), jnp.bfloat16),
-            ).compile().cost_analysis()
-            vae_flops = float(cost.get("flops", 0.0)) / decode_chunk
-        except Exception:
-            pass
-
-        def full_pipeline(key):
-            lat = generate(params, key)
-            return decode_all(vae_params, lat)
-
-        # Warm both programs. The generate() warmup DOES execute a full
-        # rollout (it is one program); unavoidable, cached afterwards.
-        lat_warm = generate(params, jax.random.PRNGKey(9))
-        float(lat_warm.astype(jnp.float32).mean())
-        float(decode_all(vae_params, lat_warm).astype(jnp.float32).mean())
-
-        start = time.perf_counter()
-        out = full_pipeline(jax.random.PRNGKey(1))
-        float(out.astype(jnp.float32).mean())
-        dt = time.perf_counter() - start
-        frames_per_sec = total_frames / dt
-
-        # Analytic A100 baseline for the SAME workload: denoiser FLOPs per
-        # frame x CFG x steps x window overhead + VAE decode per frame,
-        # at 312 TFLOP/s bf16 peak and 40% assumed MFU (BASELINE.md: the
-        # reference publishes no throughput; this stays the honest
-        # denominator until a measured A100 run exists).
-        fl = flops_per_frame(cfg, (h // 2) * (w // 2), v, ctx_len)
-        window_overhead = (n_windows * t) / total_frames
-        fl_frame = fl * 2 * n_steps * window_overhead + vae_flops * v
-        a100_fps = (312e12 * 0.40) / fl_frame
-        result = {
-            "metric": "ctsd35_e2e_40frame_generation_fps_per_chip"
-            + ("_int8" if int8 else ""),
-            "value": round(frames_per_sec, 4),
-            "unit": (
-                f"video frames/s ({platform}, {total_frames}-frame 6-view "
-                f"AR rollout: {n_windows} windows x {n_steps}-step CFG "
-                f"flow-match + SD3.5 VAE decode, "
-                f"{n_params/1e6:.0f}M params)"
-            ),
-            "vs_baseline": round(frames_per_sec / a100_fps, 3),
-        }
-        print(json.dumps(result))
-        return
-
-    frames_per_sec = t / dt  # one denoiser step over t frames (6 views each)
-
-    fl = flops_per_frame(cfg, (h // 2) * (w // 2), v, ctx_len)
-    if train:
-        fl = fl * 3  # fwd + bwd ≈ 3× forward FLOPs
-    a100_fps = (312e12 * 0.40) / fl  # analytic A100 bf16 est. at 40% MFU
-    mode = "train-step" if train else "fwd"
-    unit = (
-        f"frames/s ({platform}, {mode}, 6-view eq, "
-        f"{n_params/1e6:.0f}M params"
-    )
-    if xla_flops > 0 and platform == "tpu":
-        v5e_peak = 197e12  # bf16
-        mfu = (xla_flops / dt) / v5e_peak
-        unit += f", MFU {mfu:.2f} of v5e bf16 peak by XLA flop count"
-    unit += ")"
-    result = {
-        "metric": (
-            "ctsd35_trainstep_frames_per_sec_per_chip" if train
-            else "ctsd35_denoiser_frames_per_sec_per_chip"
-        ) + ("_int8" if int8 else ""),
-        "value": round(frames_per_sec, 3),
-        "unit": unit,
-        "vs_baseline": round(frames_per_sec / a100_fps, 3),
-    }
+    if lidar:
+        result = run_lidar_bench()
+    elif streaming:
+        result = run_streaming_bench(int8=int8)
+    elif train:
+        result = run_train_bench(remat_dots=remat_dots)
+    elif e2e:
+        result = run_e2e_bench(int8=int8)
+    else:
+        result = run_fwd_bench(int8=int8, remat_dots=remat_dots)
     print(json.dumps(result))
 
 
