@@ -363,7 +363,15 @@ def _metrics_drill(report: dict, overrides: dict) -> dict:
     externally-blocked artifact), so the *numbers* are meaningless — the
     point is that the exact code path that will produce the BASELINE.md
     FVD/FID comparison (reference src/dwm/metrics/fvd.py:95-119) has
-    executed end-to-end before real weights mount."""
+    executed end-to-end before real weights mount.
+
+    VERDICT r4 weak #6: the first drill emitted FVD=FID=0.0 on distinct
+    inputs — rank-deficient sample covariances (4 samples vs 400-/2048-dim
+    features) let the clamped eigenvalue square roots cancel the mean term.
+    Now: covariance shrinkage (metrics/frechet.py), enough samples for a
+    stable mean term, a feature-discrimination diagnostic, and hard
+    assertions that distinct real/fake inputs give strictly positive
+    distances — a drill that outputs 0.0 either way validates nothing."""
     import jax
     import jax.numpy as jnp
 
@@ -414,12 +422,15 @@ def _metrics_drill(report: dict, overrides: dict) -> dict:
             imgs, (imgs.shape[0], 299, 299, 3), "bilinear")
 
     fvd = FrechetPairedMetric(
-        400, feature_fn=lambda x: i3d.apply(i3d_params, to_video(x)))
+        400, feature_fn=lambda x: i3d.apply(i3d_params, to_video(x)),
+        shrinkage=1e-3)
     fid = FrechetPairedMetric(
-        2048, feature_fn=lambda x: fid_net.apply(fid_params, to_images(x)))
+        2048, feature_fn=lambda x: fid_net.apply(fid_params, to_images(x)),
+        shrinkage=1e-3)
 
     key = jax.random.PRNGKey(11)
-    n_batches = 2
+    n_batches = 8
+    feat_diag = {"i3d": [], "inception": []}
     for i in range(n_batches):
         ks = jax.random.split(jax.random.fold_in(key, i), 5)
         batch = {
@@ -435,14 +446,38 @@ def _metrics_drill(report: dict, overrides: dict) -> dict:
         fake = pipe.decode_latents(gen)
         fvd.update(real, fake)
         fid.update(real, fake)
+        # feature-discrimination diagnostic: a random-init net emitting
+        # (near-)constant features would make any Fréchet result vacuous
+        import numpy as np
+        rf = np.asarray(i3d.apply(i3d_params, to_video(real)))
+        ff = np.asarray(i3d.apply(i3d_params, to_video(fake)))
+        feat_diag["i3d"].append(float(np.abs(rf.mean(0) - ff.mean(0)).max()))
+        rf = np.asarray(fid_net.apply(fid_params, to_images(real)))
+        ff = np.asarray(fid_net.apply(fid_params, to_images(fake)))
+        feat_diag["inception"].append(
+            float(np.abs(rf.mean(0) - ff.mean(0)).max()))
+    fvd_val = float(fvd.compute())
+    fid_val = float(fid.compute())
+    # Hard gates (VERDICT r5 item 4): distinct real/fake inputs must give
+    # strictly positive distances and the feature nets must discriminate.
+    assert fvd_val > 0.0, f"degenerate FVD {fvd_val} on distinct inputs"
+    assert fid_val > 0.0, f"degenerate FID {fid_val} on distinct inputs"
+    assert max(feat_diag["i3d"]) > 1e-6, "I3D features do not discriminate"
+    assert max(feat_diag["inception"]) > 1e-6, (
+        "Inception features do not discriminate")
     out = {
         "status": "ok",
         "checkpoint": entry["out_path"],
         "samples": n_batches * b,
-        "fvd_random_i3d": round(float(fvd.compute()), 3),
-        "fid_random_inception": round(float(fid.compute()), 3),
-        "note": "random-weight feature nets: exercises the convert → "
-                "generate → Fréchet pipeline, not a quality claim",
+        "fvd_random_i3d": round(fvd_val, 4),
+        "fid_random_inception": round(fid_val, 4),
+        "feature_mean_gap_max": {
+            k: round(max(v), 6) for k, v in feat_diag.items()},
+        "asserts": "fvd>0, fid>0, feature mean gaps > 1e-6 — all passed",
+        "note": "random-weight feature nets + covariance shrinkage 1e-3: "
+                "exercises the convert → generate → Fréchet pipeline and "
+                "proves it discriminates distinct inputs; not a quality "
+                "claim",
     }
     print(f"metrics drill: {json.dumps(out)}")
     return out

@@ -125,8 +125,15 @@ def main(depths):
         current.append(r)
         print(json.dumps(r), flush=True)
         # free this depth's params/grads/moments + compiled executables
-        # before the next depth fills HBM
+        # before the next depth fills HBM; a failed depth can leak device
+        # buffers via exception state, so hard-delete live arrays too
         jax.clear_caches()
+        gc.collect()
+        for a in jax.live_arrays():
+            try:
+                a.delete()
+            except Exception:
+                pass
         gc.collect()
         out = _write(_merge(prior, current, depths))
         print(f"wrote {PATH} ({len(out['sweep'])} entries)", flush=True)
