@@ -89,4 +89,6 @@ class DDIMScheduler(DDPMScheduler):
         if eta > 0:
             assert noise is not None, "eta > 0 requires explicit noise"
             prev_sample = prev_sample + std_dev * noise.astype(jnp.float32)
-        return prev_sample.astype(model_output.dtype)
+        # sample dtype, not model_output dtype: callers carry the result
+        # through lax.scan, so the carry invariant belongs to `sample`.
+        return prev_sample.astype(sample.dtype)

@@ -145,6 +145,8 @@ class DDPMScheduler:
 
         var = jnp.clip((1 - ac_prev) / (1 - ac_t) * beta_t, 1e-20)
         std = jnp.where(t > 0, var**0.5, 0.0)
+        # sample dtype, not model_output dtype: callers carry the result
+        # through lax.scan, so the carry invariant belongs to `sample`.
         return (mean + std * noise.astype(jnp.float32)).astype(
-            model_output.dtype
+            sample.dtype
         )

@@ -110,4 +110,7 @@ class FlowMatchEulerScheduler:
         sigma_next = sigmas[idx + 1]
         prev = sample.astype(jnp.float32) + (sigma_next - sigma) * \
             model_output.astype(jnp.float32)
-        return prev.astype(model_output.dtype)
+        # Preserve the *sample* dtype: every caller carries the returned
+        # latents through a lax.scan, so the carry invariant belongs to
+        # `sample` (a bf16 model output must not flip an f32 latent carry).
+        return prev.astype(sample.dtype)

@@ -142,3 +142,37 @@ class TestFlowMatch:
         n = jnp.zeros((2, 2))
         out = s.add_noise(x, n, jnp.array([0.25, 0.5]))
         np.testing.assert_allclose(np.asarray(out)[:, 0], [0.75, 0.5], rtol=1e-6)
+
+
+class TestCarryDtypeInvariant:
+    """A bf16 model output must not flip an f32 latent carry.
+
+    Every sampler carries the scheduler's return value through lax.scan
+    (ctsd.py, unimlvg.py, ctsd_streaming.py), so step/step_by_indices must
+    return `sample.dtype` regardless of model_output.dtype — the streaming
+    pipeline hit a scan carry-type error at flagship scale when this broke.
+    """
+
+    def test_flow_match_step_by_indices_keeps_sample_dtype(self):
+        s = FlowMatchEulerScheduler()
+        sample = jnp.ones((2, 3, 4), jnp.float32)
+        out = jnp.ones((2, 3, 4), jnp.bfloat16)
+        idx = jnp.zeros((2, 3), jnp.int32)
+        prev = s.step_by_indices(out, idx, sample, 8)
+        assert prev.dtype == jnp.float32
+
+    def test_ddim_step_keeps_sample_dtype(self):
+        s = DDIMScheduler()
+        sample = jnp.ones((2, 4), jnp.float32)
+        out = jnp.ones((2, 4), jnp.bfloat16)
+        ts = jnp.full((2,), 100)
+        prev = s.step(out, ts, sample, 10)
+        assert prev.dtype == jnp.float32
+
+    def test_ddpm_step_keeps_sample_dtype(self):
+        s = DDPMScheduler()
+        sample = jnp.ones((2, 4), jnp.float32)
+        out = jnp.ones((2, 4), jnp.bfloat16)
+        ts = jnp.full((2,), 100)
+        prev = s.step(out, ts, sample, jnp.zeros_like(sample))
+        assert prev.dtype == jnp.float32
