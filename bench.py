@@ -135,10 +135,18 @@ def build_denoiser_setup(int8: bool = False, train: bool = False,
         projection_class_embeddings_input_dim=2816,
         dtype=jnp.bfloat16,
         # train mode holds params + grads + 2 adam moments; remat the
-        # blocks so activations fit alongside them.
-        gradient_checkpointing=train,
-        crossview_gradient_checkpointing=train,
-        temporal_gradient_checkpointing=train,
+        # blocks so activations fit alongside them. BENCH_TRAIN_REMAT=0
+        # disables remat (perf/exp_train_remat.py: at shallow depths the
+        # state leaves room for full activations, and full remat
+        # recomputes exactly the memory-bound LN/modulate chains — also
+        # re-enabling the inter-sublayer fusion barriers, which must be
+        # off inside remat'd blocks but pay for themselves outside).
+        gradient_checkpointing=train and os.environ.get(
+            "BENCH_TRAIN_REMAT", "1") != "0",
+        crossview_gradient_checkpointing=train and os.environ.get(
+            "BENCH_TRAIN_REMAT", "1") != "0",
+        temporal_gradient_checkpointing=train and os.environ.get(
+            "BENCH_TRAIN_REMAT", "1") != "0",
         # --int8: W8A8 serving path (QDense; v5e int8 MXU = 2x bf16 peak).
         quantization="int8" if int8 else None,
         # --remat-dots: save matmul outputs in the remat'd backward.

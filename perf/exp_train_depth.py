@@ -122,6 +122,14 @@ def main(depths):
             traceback.print_exc()
             r = {"layers": d, "status": "failed",
                  "error": f"{type(e).__name__}: {e}"[:300]}
+            if "RESOURCE_EXHAUSTED" in r["error"]:
+                # an OOM'd program poisons the tunnel backend for this
+                # whole process — later depths would all fail spuriously
+                current.append(r)
+                _write(_merge(prior, current, depths))
+                print("chip poisoned — aborting remaining depths",
+                      flush=True)
+                return
         current.append(r)
         print(json.dumps(r), flush=True)
         # free this depth's params/grads/moments + compiled executables

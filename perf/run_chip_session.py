@@ -60,8 +60,16 @@ def _stage(name):
 
 @_stage("sweep")
 def stage_sweep():
+    """Depths from SWEEP_DEPTHS (default "4,5,6"). Depth 8 needs ~14.5 GB
+    of resident state and reliably OOMs the 16 GB chip — and a failed
+    program poisons the tunnel backend server-side (every later
+    allocation in the SAME process returns RESOURCE_EXHAUSTED; scrub +
+    in-process retry demonstrably does not recover it — r5 sessions 1-2).
+    Run the sweep LAST and keep OOM-risky depths out of shared sessions."""
     import exp_train_depth
-    exp_train_depth.main([4, 6, 8])
+    depths = [int(x) for x in os.environ.get(
+        "SWEEP_DEPTHS", "4,5,6").split(",")]
+    exp_train_depth.main(depths)
     return "wrote BENCH_TRAIN_SWEEP.json"
 
 
@@ -167,7 +175,10 @@ def _scrub():
 
 
 def main(names):
-    stages = [s for s in ALL if not names or s._stage_name in names]
+    # CLI order is execution order (OOM-risky stages belong LAST: a failed
+    # program poisons the tunnel backend for the rest of the process)
+    by_name = {s._stage_name: s for s in ALL}
+    stages = [by_name[n] for n in names] if names else list(ALL)
     print(f"chip session: {[s._stage_name for s in stages]}", flush=True)
     for s in stages:
         t0 = time.time()
@@ -180,11 +191,20 @@ def main(names):
             except Exception as e:
                 traceback.print_exc()
                 err = f"{type(e).__name__}: {e}"[:300]
-                if attempt == 1 and "RESOURCE_EXHAUSTED" in err:
+                # transient tunnel faults worth one in-process retry:
+                # remote-compile HTTP 500s. (RESOURCE_EXHAUSTED is NOT
+                # retryable in-process — the backend stays poisoned.)
+                if attempt == 1 and (
+                        "remote_compile" in err or "INTERNAL" in err):
                     print("retrying after scrub...", flush=True)
                     _scrub()
                     continue
                 _record(s._stage_name, "failed", time.time() - t0, err)
+                if "RESOURCE_EXHAUSTED" in err:
+                    print("chip poisoned (RESOURCE_EXHAUSTED) — aborting "
+                          "session; restart a fresh process for the "
+                          "remaining stages", flush=True)
+                    return
                 break
         _scrub()
     print(f"\nsession log -> {LOG_PATH}", flush=True)
