@@ -113,8 +113,19 @@ def run(kind):
     float(o.astype(jnp.float32).mean())
     dt = (time.perf_counter() - t0) / 10
     print(f"{kind:8s}: {dt*1e3:8.2f} ms ({dt/DEPTH*1e3:6.2f} ms/branch)")
+    return {"kind": kind, "ms_total": round(dt * 1e3, 2),
+            "ms_per_branch": round(dt / DEPTH * 1e3, 2)}
+
+
+def main():
+    import json
+    results = [run(k) for k in ATTNS]
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_CROSSVIEW.json")
+    with open(path, "w") as f:
+        json.dump({"depth": DEPTH, "variants": results}, f, indent=1)
+    return results
 
 
 if __name__ == "__main__":
-    for k in ATTNS:
-        run(k)
+    main()

@@ -152,8 +152,31 @@ def stage_dvgo():
     return "wrote BENCH_LIDAR_RENDER.json"
 
 
+@_stage("lidar_breakdown")
+def stage_lidar_breakdown():
+    """Localize the 800 ms LiDAR gen cost (MFU 0.02 — latency-bound)."""
+    import exp_lidar_breakdown
+    exp_lidar_breakdown.main()
+    return "wrote BENCH_LIDAR_BREAKDOWN.json"
+
+
+@_stage("remat")
+def stage_remat():
+    """Remat-on vs remat-off train step at shallow depths."""
+    import exp_train_remat
+    exp_train_remat.main([4])
+    return "wrote BENCH_TRAIN_REMAT.json"
+
+
+@_stage("crossview")
+def stage_crossview():
+    """Crossview-branch attention formulation ablation (NEXT.md item 6)."""
+    import exp_crossview
+    return json.dumps(exp_crossview.main())
+
+
 ALL = [stage_sweep, stage_lidar, stage_streaming, stage_e2e, stage_fidelity,
-       stage_dvgo]
+       stage_dvgo, stage_lidar_breakdown, stage_remat, stage_crossview]
 
 
 def _scrub():
