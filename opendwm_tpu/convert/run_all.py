@@ -458,22 +458,80 @@ def _metrics_drill(report: dict, overrides: dict) -> dict:
             float(np.abs(rf.mean(0) - ff.mean(0)).max()))
     fvd_val = float(fvd.compute())
     fid_val = float(fid.compute())
+    # Calibration: the same pipeline on a GROSSLY different fake
+    # distribution (structureless uniform noise vs decoded latents) must
+    # yield a distance well above the generated-vs-real one — proving the
+    # Fréchet path responds monotonically to distribution shift, not just
+    # "is nonzero" (a tiny positive value alone can't distinguish a
+    # working metric from numerical noise). A plain brightness shift is
+    # too weak here: random-init features + the [0,1] clip compress it to
+    # ~4x; the structural difference separates by much more.
+    fvd_cal = FrechetPairedMetric(
+        400, feature_fn=lambda x: i3d.apply(i3d_params, to_video(x)),
+        shrinkage=1e-3)
+    fid_cal = FrechetPairedMetric(
+        2048, feature_fn=lambda x: fid_net.apply(fid_params, to_images(x)),
+        shrinkage=1e-3)
+    fvd_same = FrechetPairedMetric(
+        400, feature_fn=lambda x: i3d.apply(i3d_params, to_video(x)),
+        shrinkage=1e-3)
+    fid_same = FrechetPairedMetric(
+        2048, feature_fn=lambda x: fid_net.apply(fid_params, to_images(x)),
+        shrinkage=1e-3)
+    for i in range(n_batches):
+        ks = jax.random.split(jax.random.fold_in(key, 100 + i), 3)
+        real = pipe.decode_latents(
+            jax.random.normal(ks[0], (b, t, v, h, w, c)))
+        real2 = pipe.decode_latents(
+            jax.random.normal(ks[2], (b, t, v, h, w, c)))
+        noise = jax.random.uniform(
+            ks[1], real.shape, minval=-1.0, maxval=1.0)
+        fvd_cal.update(real, noise)
+        fid_cal.update(real, noise)
+        fvd_same.update(real, real2)
+        fid_same.update(real, real2)
+    fvd_cal_val = float(fvd_cal.compute())
+    fid_cal_val = float(fid_cal.compute())
+    fvd_same_val = float(fvd_same.compute())
+    fid_same_val = float(fid_same.compute())
     # Hard gates (VERDICT r5 item 4): distinct real/fake inputs must give
-    # strictly positive distances and the feature nets must discriminate.
+    # strictly positive distances, the feature nets must discriminate, and
+    # the gross-shift calibration must clearly dominate both the subtle
+    # generated-vs-real distance and the same-distribution floor. (3x, not
+    # 10x: random-init features compress distribution gaps — the measured
+    # gross/subtle ratio is ~4-5x even for structureless noise; the check
+    # is monotonicity with margin, not a magnitude claim.)
     assert fvd_val > 0.0, f"degenerate FVD {fvd_val} on distinct inputs"
     assert fid_val > 0.0, f"degenerate FID {fid_val} on distinct inputs"
     assert max(feat_diag["i3d"]) > 1e-6, "I3D features do not discriminate"
     assert max(feat_diag["inception"]) > 1e-6, (
         "Inception features do not discriminate")
+    assert fvd_cal_val > 3 * fvd_val, (
+        f"FVD not monotone in shift: cal {fvd_cal_val} vs {fvd_val}")
+    assert fid_cal_val > 3 * fid_val, (
+        f"FID not monotone in shift: cal {fid_cal_val} vs {fid_val}")
+    assert fvd_cal_val > 3 * fvd_same_val, (
+        f"FVD cal below same-dist floor: {fvd_cal_val} vs {fvd_same_val}")
+    assert fid_cal_val > 3 * fid_same_val, (
+        f"FID cal below same-dist floor: {fid_cal_val} vs {fid_same_val}")
     out = {
         "status": "ok",
         "checkpoint": entry["out_path"],
         "samples": n_batches * b,
-        "fvd_random_i3d": round(fvd_val, 4),
-        "fid_random_inception": round(fid_val, 4),
+        # full precision: these are strictly positive but small (random-
+        # init features barely separate subtle distribution differences);
+        # rounding would display a misleading 0.0
+        "fvd_random_i3d": fvd_val,
+        "fid_random_inception": fid_val,
+        "fvd_noise_calibration": fvd_cal_val,
+        "fid_noise_calibration": fid_cal_val,
+        "fvd_same_dist_floor": fvd_same_val,
+        "fid_same_dist_floor": fid_same_val,
         "feature_mean_gap_max": {
             k: round(max(v), 6) for k, v in feat_diag.items()},
-        "asserts": "fvd>0, fid>0, feature mean gaps > 1e-6 — all passed",
+        "asserts": "fvd>0, fid>0, feature gaps > 1e-6, noise "
+                   "calibration > 3x subtle distance and > 3x "
+                   "same-dist floor — all passed",
         "note": "random-weight feature nets + covariance shrinkage 1e-3: "
                 "exercises the convert → generate → Fréchet pipeline and "
                 "proves it discriminates distinct inputs; not a quality "
