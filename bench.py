@@ -281,10 +281,39 @@ def run_lidar_bench():
         out = pipe.inference_pipeline(params, batch, rng)
         return out["pred_voxels"]
 
+    # Scan-aware flop count: XLA's cost_analysis counts a lax.scan body
+    # ONCE, not x trip count, so costing the whole gen program undercounts
+    # by ~20x (the sample_steps loop) — round-5 artifact showed MFU 0.02
+    # where the transformer forward alone runs at ~0.5. Cost the pieces:
+    # T x single-step transformer forward (CFG doubles the batch inside
+    # the body) + tokenize + VQ decode.
     try:
-        cost = gen.lower(
-            params, vq_params, batch, rng).compile().cost_analysis()
-        xla_flops = float(cost.get("flops", 0.0))
+        ic = pipe.inference_config
+        T_steps = ic.get("sample_steps", 20)
+        cfg_mult = 2 if ic.get("do_classifier_free_guidance", False) else 1
+        x0 = jnp.zeros(
+            (cfg_mult * code.shape[0],) + code.shape[1:], code.dtype)
+        i0 = jnp.zeros(
+            (cfg_mult * code_indices.shape[0],) + code_indices.shape[1:],
+            jnp.int32)
+        fwd1 = jax.jit(lambda p, x, i: pipe.model.apply(
+            p, x, i, context=ctx0, batch_size=cfg_mult * b * t,
+            num_frames=t))
+        fwd1_flops = float(fwd1.lower(params, x0, i0).compile()
+                           .cost_analysis().get("flops", 0.0))
+        tok_cost = jax.jit(pipe.tokenize).lower(
+            batch["lidar_points"], batch["lidar_points_mask"]
+        ).compile().cost_analysis()
+        dec_params = {"params": vq_params["params"]["lidar_decoder"]}
+        dec_cost = jax.jit(
+            lambda dp, x: pipe.vq.lidar_decoder.apply(dp, x)
+        ).lower(dec_params, jnp.zeros(code.shape, code.dtype)
+                ).compile().cost_analysis()
+        xla_flops = (
+            T_steps * fwd1_flops
+            + float(tok_cost.get("flops", 0.0))
+            + float(dec_cost.get("flops", 0.0))
+        )
     except Exception:
         xla_flops = 0.0
     vox = gen(params, vq_params, batch, rng)
@@ -313,7 +342,8 @@ def run_lidar_bench():
         a100_fps = (312e12 * 0.40) / (xla_flops / (b * t))
         if platform == "tpu":
             mfu = (xla_flops / dt) / 197e12
-            unit += f", MFU {mfu:.2f} of v5e bf16 peak by XLA flop count"
+            unit += (f", MFU {mfu:.2f} of v5e bf16 peak by scan-aware "
+                     f"XLA flop count")
     unit += ")"
     return {
         "metric": "lidar_maskgit_gen_frames_per_sec_per_chip",
@@ -387,14 +417,6 @@ def run_streaming_bench(int8: bool = False):
         )
         return s, imgs, ready
 
-    try:
-        cost = tick.lower(
-            params, vae_params, state, frame_batch(jax.random.PRNGKey(1))
-        ).compile().cost_analysis()
-        xla_flops = float(cost.get("flops", 0.0))
-    except Exception:
-        xla_flops = 0.0
-
     # Warmup: fill the queue (t frames) — also compiles the program.
     for i in range(t):
         state, imgs, ready = tick(
@@ -433,9 +455,13 @@ def run_streaming_bench(int8: bool = False):
         f"{spi}-step ladder advance x CFG over a {t}-frame window + VAE "
         f"decode, {n_params/1e6:.0f}M params"
     )
-    if xla_flops > 0 and platform == "tpu":
-        mfu = (xla_flops / dt) / 197e12
-        unit += f", MFU {mfu:.2f} of v5e bf16 peak by XLA flop count"
+    # MFU from the ANALYTIC tick flops: costing the whole tick program
+    # with XLA cost_analysis undercounts ~spi-fold (a lax.scan body is
+    # counted once, not x trip count — see run_lidar_bench).
+    if platform == "tpu":
+        mfu = (tick_flops / dt) / 197e12
+        unit += (f", MFU {mfu:.2f} of v5e bf16 peak by analytic "
+                 f"flop count")
     unit += ")"
     return {
         "metric": "ctsd35_streaming_ms_per_frame"

@@ -354,14 +354,18 @@ class MaskGITPipeline:
             # one token through the mask_len >= 1 clamp.
             remask = (conf < cutoff) & (init_idx == -1)
 
-            new_x = self._lookup_codes(sample_ids)
+            # pin the carry dtype: the codebook may be stored in a
+            # different dtype than the tokenized codes (e.g. bf16 params
+            # under f32 compute), and a dtype flip in the scan carry
+            # fails to trace
+            new_x = self._lookup_codes(sample_ids).astype(code_dtype)
             is_last = step == T - 1
             new_code_idx = jnp.where(
                 ~is_last & remask, -1, sample_ids
             )
             new_x = jnp.where(
                 (~is_last & remask)[..., None],
-                mask_token.astype(new_x.dtype),
+                mask_token.astype(code_dtype),
                 new_x,
             )
             return (new_x, new_code_idx, key), ()
@@ -369,7 +373,7 @@ class MaskGITPipeline:
         x0 = jnp.where(
             (init_idx == -1)[..., None],
             mask_token.astype(code_dtype),
-            self._lookup_codes(jnp.maximum(init_idx, 0)),
+            self._lookup_codes(jnp.maximum(init_idx, 0)).astype(code_dtype),
         )
         (x_final, idx_final, _), _ = jax.lax.scan(
             body, (x0, init_idx, rng), jnp.arange(T)
