@@ -147,6 +147,15 @@ def build_denoiser_setup(int8: bool = False, train: bool = False,
             "BENCH_TRAIN_REMAT", "1") != "0",
         temporal_gradient_checkpointing=train and os.environ.get(
             "BENCH_TRAIN_REMAT", "1") != "0",
+        # BENCH_TRAIN_REMAT=half: remat only odd-indexed joint blocks —
+        # even blocks keep full activations + fusion barriers, halving
+        # the backward recompute where HBM allows
+        # (perf/exp_train_remat.py: remat=none OOMs at depth 4).
+        remat_block_layers=(
+            tuple(range(1, cfg["layers"], 2))
+            if train and os.environ.get("BENCH_TRAIN_REMAT") == "half"
+            else None
+        ),
         # --int8: W8A8 serving path (QDense; v5e int8 MXU = 2x bf16 peak).
         quantization="int8" if int8 else None,
         # --remat-dots: save matmul outputs in the remat'd backward.

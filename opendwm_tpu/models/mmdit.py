@@ -286,6 +286,14 @@ class DiTCrossviewTemporal(nn.Module):
     gradient_checkpointing: bool = False
     crossview_gradient_checkpointing: bool = False
     temporal_gradient_checkpointing: bool = False
+    # Selective remat: when gradient_checkpointing is on, remat only the
+    # joint blocks listed here (None = all of them). Middle ground
+    # between full remat (recomputes every memory-bound LN/modulate
+    # chain in the backward) and no remat (full activations OOM at
+    # flagship width on 16 GB — perf/BENCH_TRAIN_REMAT.json). Blocks NOT
+    # remat'd also get their inter-sublayer fusion barriers back (see
+    # _b), recovering the forward-path fusion win inside the train step.
+    remat_block_layers: Optional[Sequence[int]] = None
     # Remat policy: None = recompute everything; "dots" = save matmul
     # outputs and recompute only elementwise ops in the backward
     # (jax.checkpoint_policies.dots_saveable) — trades HBM for the
@@ -497,11 +505,15 @@ class DiTCrossviewTemporal(nn.Module):
             if residuals:
                 x = x + residuals.pop(0)
 
+            block_remat = self.gradient_checkpointing and (
+                self.remat_block_layers is None
+                or i in self.remat_block_layers
+            )
             block = maybe_remat(
                 JointTransformerBlock,
-                self.gradient_checkpointing,
+                block_remat,
                 quantized=self.quantization == "int8",
-                fusion_barriers=not self.gradient_checkpointing,
+                fusion_barriers=not block_remat,
                 heads=heads, head_dim=head_dim, qk_norm=self.qk_norm,
                 dual_attention=i in self.dual_attention_layers,
                 context_pre_only=i == self.num_layers - 1,

@@ -20,6 +20,9 @@ after their same-depth remat baselines and deepest last).
 Writes perf/BENCH_TRAIN_REMAT.json.
 
 Usage: python perf/exp_train_remat.py [depths...]   (default 4 6)
+  REMAT_VARIANTS=1,half,0 selects the variants to run (comma list;
+  default all three — set e.g. REMAT_VARIANTS=half to skip the
+  known-OOM no-remat case on a shared chip session).
 """
 
 import gc
@@ -40,28 +43,56 @@ def main(depths):
     import bench
 
     results = []
-    # remat=1 first at every depth (safe), then remat=0 shallow→deep:
-    # the first OOM poisons the process, so risky variants go last.
-    runs = [(d, True) for d in depths] + [(d, False) for d in depths]
+    # Safe variants first at every depth, OOM-risky ones shallow→deep
+    # last: the first OOM poisons the process. "half" remats only the
+    # odd-indexed joint blocks (bench.py remat_block_layers) — the even
+    # blocks keep full activations AND their fusion barriers.
+    variants = [
+        v for v in os.environ.get("REMAT_VARIANTS", "1,half,0").split(",")
+        if v
+    ]
+    runs = [(d, v) for v in variants for d in depths]
+    names = {"1": "full", "half": "half", "0": "none"}
     for d, remat in runs:
-        label = f"depth {d}, remat={'full' if remat else 'none'}"
+        label = f"depth {d}, remat={names[remat]}"
         print(f"=== {label} ===", flush=True)
-        os.environ["BENCH_TRAIN_REMAT"] = "1" if remat else "0"
+        os.environ["BENCH_TRAIN_REMAT"] = remat
         try:
             r = bench.run_train_bench(layers=d)
             r["layers"] = d
-            r["remat"] = "full" if remat else "none"
+            r["remat"] = names[remat]
             r["step_seconds"] = (
                 round(6.0 / r["value"], 4) if r["value"] else None)
         except Exception as e:
             traceback.print_exc()
-            r = {"layers": d, "remat": "full" if remat else "none",
+            r = {"layers": d, "remat": names[remat],
                  "status": "failed",
                  "error": f"{type(e).__name__}: {e}"[:300]}
         results.append(r)
         print(json.dumps(r), flush=True)
+        # merge over the prior artifact keyed by (layers, remat) so a
+        # partial re-run doesn't erase earlier variants; a failed re-run
+        # keeps the prior success (same policy as exp_train_depth._merge)
+        prior = []
+        if os.path.exists(PATH):
+            with open(PATH) as f:
+                prior = json.load(f).get("ablation", [])
+        by_key = {(p.get("layers"), p.get("remat")): p for p in prior}
+        for cur in results:
+            k = (cur.get("layers"), cur.get("remat"))
+            old = by_key.get(k)
+            if (cur.get("status") == "failed" and old is not None
+                    and old.get("value") is not None):
+                old = dict(old)
+                old["last_rerun_failed"] = cur.get("error", "unknown")
+                by_key[k] = old
+            else:
+                by_key[k] = cur
+        merged = sorted(
+            by_key.values(),
+            key=lambda p: (p.get("layers") or 0, str(p.get("remat"))))
         with open(PATH, "w") as f:
-            json.dump({"ablation": results}, f, indent=1)
+            json.dump({"ablation": merged}, f, indent=1)
         if "RESOURCE_EXHAUSTED" in r.get("error", ""):
             print("chip poisoned — aborting remaining variants", flush=True)
             break

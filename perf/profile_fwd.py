@@ -98,7 +98,7 @@ def build(train: bool):
     return lambda: float(fwd(params, inputs).astype(jnp.float32).mean())
 
 
-def summarize(outdir: str, top: int = 40):
+def summarize(outdir: str, top: int = 40, json_path: str = None):
     """Parse the captured xplane directly (the tensorboard profile plugin's
     native wrapper is broken in this env) and print top TPU ops by time."""
     os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
@@ -141,14 +141,37 @@ def summarize(outdir: str, top: int = 40):
     print(f"\n=== top {top} ops by total time ===")
     for name, us in sorted(by_name.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{us/1e3:9.3f} ms {100*us/total:5.1f}%  {name[:100]}")
+    if json_path:
+        import json
+        with open(json_path, "w") as f:
+            json.dump({
+                "device_busy_ms": round(total / 1e3, 3),
+                "span_ms": round(span / 1e3, 3),
+                "idle_pct": round(100 * (1 - total / span), 1),
+                "by_category_ms": {
+                    k: round(us / 1e3, 3)
+                    for k, us in sorted(by_cat.items(), key=lambda kv: -kv[1])
+                },
+                "top_ops": [
+                    {"ms": round(us / 1e3, 3),
+                     "pct": round(100 * us / total, 1),
+                     "op": name[:160]}
+                    for name, us in sorted(
+                        by_name.items(), key=lambda kv: -kv[1])[:top]
+                ],
+            }, f, indent=1)
+        print("wrote", json_path)
 
 
 def main():
     train = "--train" in sys.argv
     outdir = "/tmp/dwmprof_train" if train else "/tmp/dwmprof"
+    json_path = None
     for i, a in enumerate(sys.argv):
         if a == "--outdir":
             outdir = sys.argv[i + 1]
+        if a == "--json":
+            json_path = sys.argv[i + 1]
     run = build(train)
     run()  # compile + warm
     run()
@@ -157,7 +180,7 @@ def main():
         run()
     jax.profiler.stop_trace()
     print("trace captured to", outdir)
-    summarize(outdir)
+    summarize(outdir, json_path=json_path)
 
 
 if __name__ == "__main__":

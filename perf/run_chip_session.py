@@ -162,10 +162,34 @@ def stage_lidar_breakdown():
 
 @_stage("remat")
 def stage_remat():
-    """Remat-on vs remat-off train step at shallow depths."""
+    """Remat-variant train step at shallow depths. Defaults to the
+    selective 'half' variant (odd joint blocks only) — 'full' and 'none'
+    are already recorded in BENCH_TRAIN_REMAT.json and the merge keeps
+    them."""
     import exp_train_remat
+    os.environ.setdefault("REMAT_VARIANTS", "half")
     exp_train_remat.main([4])
     return "wrote BENCH_TRAIN_REMAT.json"
+
+
+@_stage("profile")
+def stage_profile():
+    """Op-level xplane profile of the 24-L bf16 forward -> committed
+    JSON (the per-op accounting VERDICT r5 item 5's ceiling analysis
+    needs)."""
+    import profile_fwd
+    run = profile_fwd.build(False)
+    run()
+    run()
+    import jax
+    outdir = "/tmp/dwmprof"
+    jax.profiler.start_trace(outdir)
+    for _ in range(3):
+        run()
+    jax.profiler.stop_trace()
+    path = os.path.join(ROOT, "perf", "PROFILE_FWD.json")
+    profile_fwd.summarize(outdir, json_path=path)
+    return "wrote PROFILE_FWD.json"
 
 
 @_stage("crossview")
@@ -176,7 +200,8 @@ def stage_crossview():
 
 
 ALL = [stage_sweep, stage_lidar, stage_streaming, stage_e2e, stage_fidelity,
-       stage_dvgo, stage_lidar_breakdown, stage_remat, stage_crossview]
+       stage_dvgo, stage_lidar_breakdown, stage_remat, stage_crossview,
+       stage_profile]
 
 
 def _scrub():
