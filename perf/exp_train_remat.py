@@ -52,7 +52,8 @@ def main(depths):
         if v
     ]
     runs = [(d, v) for v in variants for d in depths]
-    names = {"1": "full", "half": "half", "0": "none"}
+    names = {"1": "full", "half": "half", "quarter": "quarter",
+             "0": "none"}
     for d, remat in runs:
         label = f"depth {d}, remat={names[remat]}"
         print(f"=== {label} ===", flush=True)

@@ -192,6 +192,27 @@ def stage_profile():
     return "wrote PROFILE_FWD.json"
 
 
+@_stage("lidar_batch")
+def stage_lidar_batch():
+    """LiDAR MaskGIT gen at the throughput-optimal serving batch
+    (BENCH_LIDAR_BATCH, default 4): at b=1 the 512-dim matmuls leave the
+    MXU underfed (MFU 0.28) — frames/s/chip at a server batch is the
+    honest serving throughput."""
+    import bench
+    b = os.environ.get("BENCH_LIDAR_BATCH", "4")
+    os.environ["BENCH_LIDAR_BATCH"] = b
+    r = bench.run_lidar_bench()
+    r["command"] = f"BENCH_LIDAR_BATCH={b} python bench.py --lidar"
+    r["date"] = time.strftime("%Y-%m-%d")
+    path = os.path.join(ROOT, "perf", "BENCH_LIDAR.json")
+    with open(path) as f:
+        data = json.load(f)
+    data["runs"].append(r)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    return f"lidar b={b}: {r['value']} frames/s"
+
+
 @_stage("crossview")
 def stage_crossview():
     """Crossview-branch attention formulation ablation (NEXT.md item 6)."""
@@ -201,7 +222,7 @@ def stage_crossview():
 
 ALL = [stage_sweep, stage_lidar, stage_streaming, stage_e2e, stage_fidelity,
        stage_dvgo, stage_lidar_breakdown, stage_remat, stage_crossview,
-       stage_profile]
+       stage_profile, stage_lidar_batch]
 
 
 def _scrub():
