@@ -98,6 +98,16 @@ def _write(results):
                     "obstacle; sharded multi-chip training is the real "
                     "full-depth path",
         }
+        if b <= 0:
+            # a non-positive marginal per-layer cost is non-physical:
+            # one of the fit points is a corrupted measurement (e.g. the
+            # r5 depth-2/3 runs landed at MFU 0.05-0.08 where depth 4
+            # measures 0.34 — tunnel latency noise, not program cost).
+            # Publish the raw fit but mark it unusable.
+            out["extrapolation_24_layers"]["status"] = (
+                "invalid: negative per-layer slope — at least one fit "
+                "point is a corrupted measurement; re-measure before use"
+            )
     with open(PATH, "w") as f:
         json.dump(out, f, indent=1)
     return out

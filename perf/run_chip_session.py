@@ -213,6 +213,16 @@ def stage_lidar_batch():
     return f"lidar b={b}: {r['value']} frames/s"
 
 
+@_stage("attn")
+def stage_attn():
+    """Joint-attention kernel shootout at the real 602/448 shapes
+    (PROFILE_ANALYSIS: pallas bucket = 25% of fwd time at <10% MXU
+    efficiency — the largest single fwd lever identified in r5)."""
+    import exp_attn602
+    exp_attn602.main()
+    return "wrote BENCH_ATTN602.json"
+
+
 @_stage("crossview")
 def stage_crossview():
     """Crossview-branch attention formulation ablation (NEXT.md item 6)."""
@@ -222,7 +232,7 @@ def stage_crossview():
 
 ALL = [stage_sweep, stage_lidar, stage_streaming, stage_e2e, stage_fidelity,
        stage_dvgo, stage_lidar_breakdown, stage_remat, stage_crossview,
-       stage_profile, stage_lidar_batch]
+       stage_profile, stage_lidar_batch, stage_attn]
 
 
 def _scrub():
