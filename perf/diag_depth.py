@@ -132,29 +132,39 @@ def profile_grad(layers, closure, tag):
     return d
 
 
+def _scrub():
+    """Free the finished depth's state before building the next one:
+    holding two depths' (params + grads + moments) simultaneously is
+    ~12.6 GB at depths 4+3 — an OOM risk that would poison the tunnel
+    backend for the rest of the process (run_chip_session.py:_scrub)."""
+    sys.last_traceback = sys.last_value = None
+    if hasattr(sys, "last_exc"):
+        sys.last_exc = None
+    jax.clear_caches()
+    gc.collect()
+    for a in jax.live_arrays():
+        try:
+            a.delete()
+        except Exception:
+            pass
+    gc.collect()
+
+
 def main():
     depths = [int(x) for x in os.environ.get(
         "DIAG_DEPTHS", "4,3,2").split(",")]
     report = {"timings": [], "profiles": {}}
-    closures = {}
     for d in depths:
         rec, closure = time_depth(d)
         report["timings"].append(rec)
-        closures[d] = closure
         with open(OUT, "w") as f:
             json.dump(report, f, indent=1)
-        # keep closures only for the profile targets (first+last depth)
-        if d not in (depths[0], depths[-1]):
-            closures.pop(d)
-            gc.collect()
-
-    prof_targets = sorted({depths[0], depths[-1]})
-    for d in prof_targets:
-        if d in closures:
-            report["profiles"][str(d)] = profile_grad(
-                d, closures[d], f"d{d}")
-            with open(OUT, "w") as f:
-                json.dump(report, f, indent=1)
+        # profile while this depth's closure is the only resident state
+        report["profiles"][str(d)] = profile_grad(d, closure, f"d{d}")
+        with open(OUT, "w") as f:
+            json.dump(report, f, indent=1)
+        del closure
+        _scrub()
     print("wrote", OUT)
 
 

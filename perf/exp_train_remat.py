@@ -54,6 +54,11 @@ def main(depths):
     runs = [(d, v) for v in variants for d in depths]
     names = {"1": "full", "half": "half", "quarter": "quarter",
              "0": "none"}
+    # Restore the caller's remat setting on exit: leaking the last
+    # variant into os.environ would silently contaminate any later
+    # stage in a shared chip-session process (bench.py reads
+    # BENCH_TRAIN_REMAT at model-construction time).
+    prior_env = os.environ.get("BENCH_TRAIN_REMAT")
     for d, remat in runs:
         label = f"depth {d}, remat={names[remat]}"
         print(f"=== {label} ===", flush=True)
@@ -105,6 +110,10 @@ def main(depths):
             except Exception:
                 pass
         gc.collect()
+    if prior_env is None:
+        os.environ.pop("BENCH_TRAIN_REMAT", None)
+    else:
+        os.environ["BENCH_TRAIN_REMAT"] = prior_env
     print(f"wrote {PATH}", flush=True)
 
 

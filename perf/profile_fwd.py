@@ -163,6 +163,161 @@ def summarize(outdir: str, top: int = 40, json_path: str = None):
         print("wrote", json_path)
 
 
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2, "s16": 2, "u16": 2,
+    "f32": 4, "s32": 4, "u32": 4, "f64": 8, "s64": 8, "u64": 8,
+}
+
+
+def _parse_shapes(text: str):
+    """All typed tensor shapes in an HLO instruction string, in order of
+    appearance (result first, then operands)."""
+    import re
+    out = []
+    for m in re.finditer(r"\b(pred|[su](?:8|16|32|64)|bf16|f16|f32|f64)"
+                         r"\[([\d,]*)\]", text):
+        dt, dims = m.group(1), m.group(2)
+        shape = tuple(int(d) for d in dims.split(",")) if dims else ()
+        out.append((dt, shape))
+    return out
+
+
+def _op_bytes(shapes):
+    """HBM traffic upper bound: every distinct operand/result tensor read or
+    written once. Overcounts operands resident in VMEM across the fusion;
+    undercounts multi-pass access — a floor-of-record, not an exact model."""
+    total = 0
+    for dt, shape in shapes:
+        n = 1
+        for d in shape:
+            n *= d
+        total += n * _DTYPE_BYTES.get(dt, 2)
+    return total
+
+
+def _op_flops(name: str, shapes):
+    """GEMM flops inferred from shape algebra: for a matmul-carrying op
+    (dot / convolution fusion), find an operand pair ([..,M,K],[K,N] or
+    [..,K,N]) consistent with the result [..,M,N] and return 2*prod(out)*K.
+    Returns 0 when no consistent contraction is found (elementwise fusions,
+    copies, pallas custom-calls — the latter get their flops from the
+    kernel shootout artifacts instead)."""
+    low = name.lower()
+    if not ("dot" in low or "convolution" in low or "matmul" in low):
+        return 0
+    if not shapes:
+        return 0
+    out = shapes[0][1]
+    if len(out) < 2:
+        return 0
+    m, n = out[-2], out[-1]
+    out_n = 1
+    for d in out:
+        out_n *= d
+    best = 0
+    for _, s in shapes[1:]:
+        if len(s) < 2:
+            continue
+        # operand shaped [.., M, K]: contraction size K pairs with some
+        # [.., K, N] operand (or the weight may be elided from the
+        # truncated text — accept the [.., M, K] evidence alone).
+        if s[-2] == m and s[-1] != n:
+            best = max(best, 2 * out_n * s[-1])
+        if s[-1] == n and s[-2] != m:
+            best = max(best, 2 * out_n * s[-2])
+    return best
+
+
+def roofline(outdir: str, json_path: str, iters: int = 3,
+             peak_flops: float = 197e12, hbm_bw: float = 819e9):
+    """Per-bucket roofline from the captured xplane: measured ms vs the
+    HBM-bytes floor and the MXU-flops floor, per iteration.
+
+    The per-op fields parsed from the HLO text give, for each bucket,
+      flops_floor_ms = sum(op flops) / peak_flops
+      bytes_floor_ms = sum(op bytes) / hbm_bw
+      floor_ms       = sum(max(per-op flops time, per-op bytes time))
+    so `measured / floor` is the headroom XLA left on the table for that
+    bucket. v5e: 197 TFLOP/s bf16, 819 GB/s HBM."""
+    import json
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xplanes = glob.glob(os.path.join(outdir, "plugins/profile/*/*.xplane.pb"))
+    assert xplanes, f"no xplane under {outdir}"
+    xs = xplane_pb2.XSpace()
+    with open(max(xplanes, key=os.path.getmtime), "rb") as f:
+        xs.ParseFromString(f.read())
+    plane = next(p for p in xs.planes if "/device:TPU" in p.name)
+    meta = plane.event_metadata
+    line = next(ln for ln in plane.lines if ln.name == "XLA Ops")
+    agg: dict[str, list] = {}  # name -> [total_us, count]
+    for e in line.events:
+        name = meta[e.metadata_id].name
+        rec = agg.setdefault(name, [0.0, 0])
+        rec[0] += e.duration_ps / 1e6
+        rec[1] += 1
+
+    def bucket(name: str) -> str:
+        n = name.lower()
+        if "custom-call" in n or "tpu_custom_call" in n:
+            return "attention(pallas)"
+        if "dot" in n or "convolution" in n or "matmul" in n:
+            return "matmul"
+        if "copy" in n or "transpose" in n or "bitcast" in n:
+            return "copy"
+        if "fusion" in n or "reduce" in n or "broadcast" in n:
+            return "memel"
+        return "other"
+
+    buckets: dict[str, dict] = {}
+    ops = []
+    for name, (us, cnt) in agg.items():
+        shapes = _parse_shapes(name)
+        nbytes = _op_bytes(shapes) * cnt
+        flops = _op_flops(name, shapes) * cnt
+        b = buckets.setdefault(bucket(name), {
+            "measured_ms": 0.0, "flops": 0.0, "bytes": 0.0, "floor_ms": 0.0})
+        b["measured_ms"] += us / 1e3
+        b["flops"] += flops
+        b["bytes"] += nbytes
+        b["floor_ms"] += max(flops / peak_flops, nbytes / hbm_bw) * 1e3
+        ops.append((us, name, flops, nbytes))
+
+    report = {"iters": iters, "peak_flops": peak_flops, "hbm_bw": hbm_bw,
+              "buckets": {}, "top_ops": []}
+    total_meas = total_floor = 0.0
+    for k, b in sorted(buckets.items(), key=lambda kv: -kv[1]["measured_ms"]):
+        meas = b["measured_ms"] / iters
+        floor = b["floor_ms"] / iters
+        total_meas += meas
+        total_floor += floor
+        report["buckets"][k] = {
+            "measured_ms": round(meas, 3),
+            "floor_ms": round(floor, 3),
+            "headroom_x": round(meas / floor, 2) if floor > 0 else None,
+            "flops_floor_ms": round(b["flops"] / peak_flops * 1e3 / iters, 3),
+            "bytes_floor_ms": round(b["bytes"] / hbm_bw * 1e3 / iters, 3),
+            "tflops": round(b["flops"] / iters / 1e12, 2),
+            "gbytes": round(b["bytes"] / iters / 1e9, 2),
+        }
+    report["total_measured_ms"] = round(total_meas, 3)
+    report["total_floor_ms"] = round(total_floor, 3)
+    for us, name, flops, nbytes in sorted(ops, reverse=True)[:25]:
+        ms = us / 1e3 / iters
+        floor = max(flops / peak_flops, nbytes / hbm_bw) * 1e3 / iters
+        report["top_ops"].append({
+            "ms": round(ms, 3), "floor_ms": round(floor, 3),
+            "bound": ("flops" if flops / peak_flops > nbytes / hbm_bw
+                      else "bytes"),
+            "op": name[:160]})
+    with open(json_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", json_path)
+    return report
+
+
 def main():
     train = "--train" in sys.argv
     outdir = "/tmp/dwmprof_train" if train else "/tmp/dwmprof"

@@ -189,7 +189,9 @@ def stage_profile():
     jax.profiler.stop_trace()
     path = os.path.join(ROOT, "perf", "PROFILE_FWD.json")
     profile_fwd.summarize(outdir, json_path=path)
-    return "wrote PROFILE_FWD.json"
+    profile_fwd.roofline(
+        outdir, os.path.join(ROOT, "perf", "CEILING.json"), iters=3)
+    return "wrote PROFILE_FWD.json + CEILING.json"
 
 
 @_stage("lidar_batch")
