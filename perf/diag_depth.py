@@ -64,7 +64,11 @@ def build_step(layers):
 
     gradf = jax.jit(jax.value_and_grad(loss_fn))
 
-    @partial(jax.jit, donate_argnums=(2,))
+    # NO grad donation here (the sweep donates): the apply-alone timing
+    # loop below reuses one grads tree across iters, and a donated input
+    # is deleted after the first call -> INVALID_ARGUMENT on the second
+    # (this exact crash killed the first diag run on-chip).
+    @jax.jit
     def apply(p, o, grads):
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o

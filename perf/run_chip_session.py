@@ -215,6 +215,15 @@ def stage_lidar_batch():
     return f"lidar b={b}: {r['value']} frames/s"
 
 
+@_stage("diag")
+def stage_diag():
+    """Depth diagnostic (grad vs apply split + per-depth profile) for the
+    non-monotonic d2/d3 train pathology — see diag_depth.py docstring."""
+    import diag_depth
+    diag_depth.main()
+    return "wrote DIAG_DEPTH.json"
+
+
 @_stage("attn")
 def stage_attn():
     """Joint-attention kernel shootout at the real 602/448 shapes
@@ -234,7 +243,7 @@ def stage_crossview():
 
 ALL = [stage_sweep, stage_lidar, stage_streaming, stage_e2e, stage_fidelity,
        stage_dvgo, stage_lidar_breakdown, stage_remat, stage_crossview,
-       stage_profile, stage_lidar_batch, stage_attn]
+       stage_profile, stage_lidar_batch, stage_attn, stage_diag]
 
 
 def _scrub():
