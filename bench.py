@@ -84,12 +84,18 @@ def _param_filler(dev, keep_tree_dtype: bool = False):
 
 
 def build_denoiser_setup(int8: bool = False, train: bool = False,
-                         remat_dots: bool = False, layers: int = None):
+                         remat_dots: bool = False, layers: int = None,
+                         abstract: bool = False):
     """Flagship model + filled params + canonical inputs at bench geometry.
 
     Returns (model, params, inputs, cfg, (t, v, h, w, ctx_len)). Shared by
     bench.py and the perf/ harnesses so every experiment measures the same
     program.
+
+    ``abstract=True`` returns ShapeDtypeStruct params/inputs at FULL
+    flagship geometry regardless of platform — for shape-level analysis
+    (jax.make_jaxpr / eval_shape) on hosts that cannot hold the 3.8G-param
+    model (perf/ceiling_analytic.py traces the exact bench program on CPU).
     """
     from opendwm_tpu.models.mmdit import DiTCrossviewTemporal
 
@@ -98,7 +104,7 @@ def build_denoiser_setup(int8: bool = False, train: bool = False,
     # Benchmark configuration: flagship architecture at nuScenes latent
     # geometry (256x448 images → 32x56 latents), 6 views. Depth reduced on
     # non-TPU hosts only to keep CI fast.
-    full = platform == "tpu"
+    full = platform == "tpu" or abstract
     if layers is None:
         layers = 24 if full else 2
     cfg = dict(
@@ -166,6 +172,19 @@ def build_denoiser_setup(int8: bool = False, train: bool = False,
         # --remat-dots: save matmul outputs in the remat'd backward.
         remat_policy="dots" if remat_dots else None,
     )
+
+    if abstract:
+        inputs = dict(
+            sample=jax.ShapeDtypeStruct((1, t, v, h, w, 16), jnp.bfloat16),
+            timestep=jax.ShapeDtypeStruct((1, t, v), jnp.float32),
+            encoder_hidden_states=jax.ShapeDtypeStruct(
+                (1, t, v, ctx_len, d_model), jnp.bfloat16),
+            pooled_projections=jax.ShapeDtypeStruct(
+                (1, t, v, 2048 if full else 16), jnp.bfloat16),
+            added_time_ids=jax.ShapeDtypeStruct((1, t, v, 11), jnp.float32),
+        )
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(1), **inputs)
+        return model, shapes, inputs, cfg, (t, v, h, w, ctx_len)
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 4)
